@@ -1,0 +1,182 @@
+"""Reusable NN modules: attention pooling, gated fusion, query reformulation,
+relation-typed entity init, instruction generation, and question encoders.
+
+Ports the semantics of the reference modules
+(gnn/modules/query_update.py:6-61, gnn/modules/layer_init.py:9-62,
+gnn/modules/question_encoding/*) onto flax.linen + the padded GraphBatch ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import scatter_facts_to_entities
+from ..ops.softmax import VERY_NEG_NUMBER
+
+
+class AttnEncoder(nn.Module):
+    """Masked attention pooling over a token axis (query_update.py:46-61)."""
+
+    d_hid: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        # x: [..., L, D]; mask: [..., L]
+        attn = nn.Dense(1, use_bias=False, name="attn_linear")(x)       # [..., L, 1]
+        attn = attn - (1.0 - mask[..., None]) * 1e8                     # ref uses 1e8 here
+        attn = jax.nn.softmax(attn, axis=-2)
+        return jnp.sum(x * attn, axis=-2)
+
+
+class Fusion(nn.Module):
+    """Gated residual fusion (query_update.py:6-16)."""
+
+    d_hid: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        cat = jnp.concatenate([x, y, x - y], axis=-1)
+        r = nn.Dense(self.d_hid, use_bias=False, name="r")(cat)
+        g = jax.nn.sigmoid(nn.Dense(self.d_hid, use_bias=False, name="g")(cat))
+        return g * r + (1.0 - g) * x
+
+
+class QueryReform(nn.Module):
+    """Instruction reformulation from seed-entity GNN state
+    (query_update.py:18-44). Only the seed-retrieve branch feeds the output in
+    the reference (line 44); the entity-attention branch is computed there but
+    unused, so it is omitted here.
+    """
+
+    h_dim: int
+
+    @nn.compact
+    def __call__(self, q_node: jnp.ndarray, ent_emb: jnp.ndarray,
+                 seed_info: jnp.ndarray) -> jnp.ndarray:
+        # q_node: [B, D]; ent_emb: [B, E, D]; seed_info: [B, E]
+        seed_retrieve = jnp.einsum("be,bed->bd", seed_info, ent_emb)
+        return Fusion(self.h_dim, name="fusion")(q_node, seed_retrieve)
+
+
+class TypeLayer(nn.Module):
+    """Entity init from incident relation types (layer_init.py:25-62):
+    node features = relu(scatter_tails(W r) + scatter_heads(W r))."""
+
+    entity_dim: int
+    norm_rel: bool = False
+
+    @nn.compact
+    def __call__(self, rel_features: jnp.ndarray, heads: jnp.ndarray,
+                 rels: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
+                 num_entities: int,
+                 rel_pair_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        fact_rel = rel_features[rels]                                   # [B, F, D]
+        fact_val = nn.Dense(self.entity_dim, name="kb_self_linear")(fact_rel)
+        w = fact_mask
+        if self.norm_rel and rel_pair_weight is not None:
+            w = w * rel_pair_weight
+        f2t = scatter_facts_to_entities(fact_val, tails, num_entities, w)
+        f2h = scatter_facts_to_entities(fact_val, heads, num_entities, w)
+        return jax.nn.relu(f2t + f2h)
+
+
+class InstructionDecoder(nn.Module):
+    """Shared instruction-attention decoder (base_encoder.py:82-101).
+
+    Produces num_ins instruction vectors by iterated attention over the
+    question tokens, each step conditioned on the previous instruction.
+    """
+
+    entity_dim: int
+    num_ins: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query_hidden: jnp.ndarray, query_node: jnp.ndarray,
+                 query_mask: jnp.ndarray, *, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # query_hidden: [B, L, D] (projected); query_node: [B, D]; mask [B, L]
+        B = query_hidden.shape[0]
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        cq_linear = nn.Dense(self.entity_dim, name="cq_linear")
+        ca_linear = nn.Dense(1, name="ca_linear")
+        ins = jnp.zeros((B, self.entity_dim), query_hidden.dtype)
+        instructions = []
+        attns = []
+        for i in range(self.num_ins):
+            q_i = nn.Dense(self.entity_dim, name=f"question_linear{i}")(
+                drop(query_node))                                        # [B, D]
+            cat = jnp.concatenate([ins, q_i, q_i - ins, q_i * ins], axis=-1)
+            cq = cq_linear(drop(cat))                                    # [B, D]
+            ca = ca_linear(drop(cq[:, None, :] * query_hidden))          # [B, L, 1]
+            attn = jax.nn.softmax(
+                ca + (1.0 - query_mask[..., None]) * VERY_NEG_NUMBER, axis=1)
+            ins = jnp.sum(attn * query_hidden, axis=1)                   # [B, D]
+            instructions.append(ins)
+            attns.append(attn)
+        return jnp.stack(instructions, axis=1), jnp.stack(attns, axis=1)
+
+
+class LSTMQuestionEncoder(nn.Module):
+    """Single-layer unidirectional LSTM over word embeddings
+    (lstm_encoder.py:25-46). Returns per-token hidden states and the final
+    hidden state as the query node embedding."""
+
+    entity_dim: int
+    num_word: int
+    word_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, *, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        emb = nn.Embed(self.num_word + 1, self.word_dim, name="word_embedding")(tokens)
+        emb = nn.Dropout(self.dropout, deterministic=deterministic)(emb)
+        lstm = nn.RNN(nn.OptimizedLSTMCell(self.entity_dim), name="lstm")
+        hidden = lstm(emb)                                              # [B, L, D]
+        node = hidden[:, -1, :]                                         # h_n
+        return hidden, node
+
+
+class TransformerQuestionEncoder(nn.Module):
+    """Minimal BERT-style encoder standing in for the reference's HF
+    AutoModel (bert_encoder.py:74-109): embeddings + post-LN transformer
+    blocks. Weight layout is compatible with loading converted MiniLM/BERT
+    checkpoints (utils.hf_import)."""
+
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    intermediate: int = 1536
+    max_len: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        B, L = tokens.shape
+        x = nn.Embed(self.vocab_size, self.hidden, name="tok_emb")(tokens)
+        x = x + nn.Embed(self.max_len, self.hidden, name="pos_emb")(
+            jnp.arange(L)[None, :])
+        x = x + self.param("type_emb", nn.initializers.zeros, (self.hidden,))
+        x = nn.LayerNorm(name="emb_ln")(x)
+        bias = (1.0 - mask[:, None, None, :]) * VERY_NEG_NUMBER
+        for i in range(self.layers):
+            # explicit attention so the mask additive-bias matches BERT
+            q = nn.DenseGeneral((self.heads, self.hidden // self.heads), name=f"q_{i}")(x)
+            k = nn.DenseGeneral((self.heads, self.hidden // self.heads), name=f"k_{i}")(x)
+            v = nn.DenseGeneral((self.heads, self.hidden // self.heads), name=f"v_{i}")(x)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(q.shape[-1])
+            probs = jax.nn.softmax(scores + bias, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, self.hidden)
+            ctx = nn.Dense(self.hidden, name=f"attn_out_{i}")(ctx)
+            x = nn.LayerNorm(name=f"ln1_{i}")(x + ctx)
+            h = nn.Dense(self.intermediate, name=f"ffn1_{i}")(x)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(self.hidden, name=f"ffn2_{i}")(h)
+            x = nn.LayerNorm(name=f"ln2_{i}")(x + h)
+        return x

@@ -1,0 +1,83 @@
+"""Synthetic KGQA subgraph generation for tests and benchmarks.
+
+Generates random question subgraphs with the same statistical shape as
+WebQSP/CWQ batches (padded COO, seeds, answer distributions) so the whole
+pipeline can run without the (unshipped) datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.batch import GraphBatch
+
+
+def random_graph_batch(rng: np.random.Generator, *, batch_size: int = 8,
+                       n_entities: int = 256, n_facts: int = 1024,
+                       num_relation: int = 64, num_entity_global: int = 100_000,
+                       q_len: int = 16, word_dim: int | None = 384,
+                       use_self_loop: bool = True,
+                       cwq_style: bool = False) -> GraphBatch:
+    """num_relation = num_kb_relation (incl. self-loop row if enabled)."""
+    B, E, F, L = batch_size, n_entities, n_facts, q_len
+
+    ent_count = rng.integers(E // 2, E + 1, size=B)
+    heads = np.zeros((B, F), np.int32)
+    tails = np.zeros((B, F), np.int32)
+    rels = np.full((B, F), num_relation, np.int32)
+    fact_mask = np.zeros((B, F), np.float32)
+    entity_gids = np.full((B, E), num_entity_global, np.int64)
+    ent_present = np.zeros((B, E), np.float32)
+    seed_dist = np.zeros((B, E), np.float32)
+    query_entities = np.zeros((B, E), np.float32)
+    answer_dist = np.zeros((B, E), np.float32)
+
+    self_rel = num_relation - 1
+    for b in range(B):
+        ne = int(ent_count[b])
+        n_loops = ne if use_self_loop else 0
+        nf = int(rng.integers(F // 2, F - n_loops + 1))
+        heads[b, :nf] = rng.integers(0, ne, nf)
+        tails[b, :nf] = rng.integers(0, ne, nf)
+        rels[b, :nf] = rng.integers(0, max(1, num_relation - 1), nf)
+        if use_self_loop:
+            ar = np.arange(ne, dtype=np.int32)
+            heads[b, nf:nf + ne] = ar
+            tails[b, nf:nf + ne] = ar
+            rels[b, nf:nf + ne] = self_rel
+            nf += ne
+        fact_mask[b, :nf] = 1.0
+        entity_gids[b, :ne] = rng.choice(num_entity_global, size=ne, replace=False)
+        ent_present[b, :ne] = 1.0
+        n_seed = int(rng.integers(1, min(3, ne) + 1))
+        seeds = rng.choice(ne, size=n_seed, replace=False)
+        seed_dist[b, seeds] = 1.0 / n_seed
+        query_entities[b, seeds] = 1.0
+        if not cwq_style:
+            entity_gids[b, seeds] = num_entity_global  # WebQSP candidate quirk
+        n_ans = int(rng.integers(1, 4))
+        answer_dist[b, rng.choice(ne, size=min(n_ans, ne), replace=False)] = 1.0
+
+    q_tokens = rng.integers(3, 1000, size=(B, L)).astype(np.int32)
+    q_mask = np.ones((B, L), np.float32)
+    q_hidden = None
+    if word_dim:
+        q_hidden = rng.standard_normal((B, L, word_dim)).astype(np.float32) * 0.1
+
+    return GraphBatch(
+        heads=heads, rels=rels, tails=tails, fact_mask=fact_mask,
+        entity_gids=entity_gids.astype(np.int32), ent_present=ent_present,
+        seed_dist=seed_dist, query_entities=query_entities,
+        answer_dist=answer_dist, q_tokens=q_tokens, q_mask=q_mask,
+        q_hidden=q_hidden, fact_weight=None,
+        fact_rel_weight=np.ones((B, F), np.float32) * fact_mask,
+    )
+
+
+def random_rel_hidden(rng: np.random.Generator, num_relation_rows: int,
+                      rel_len: int = 8, word_dim: int = 384):
+    """Random frozen-LM relation token states + mask."""
+    h = rng.standard_normal((num_relation_rows, rel_len, word_dim)).astype(np.float32) * 0.1
+    hinv = rng.standard_normal((num_relation_rows, rel_len, word_dim)).astype(np.float32) * 0.1
+    mask = np.ones((num_relation_rows, rel_len), np.float32)
+    return h, hinv, mask
