@@ -1,0 +1,69 @@
+"""Frozen question/relation LM encoding outside the train step.
+
+The reference runs its frozen SBERT inside every forward
+(bert_encoder.py:89-109 with lm_frozen=1 freezing, :80-83) and encodes all
+relation texts once at startup (base_model.py:168-176). Here the frozen
+encoder runs ONCE over questions and relations at ingest, and the train step
+consumes precomputed hidden states — removing a BERT forward from the hot
+loop with identical semantics.
+
+Weight sources, in order of preference:
+1. HuggingFace checkpoint converted via utils.hf_import (when the model files
+   are available locally);
+2. deterministic random init (offline tests / synthetic benchmarks).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoders import TransformerQuestionEncoder
+
+
+class FrozenLM:
+    def __init__(self, word_dim: int = 384, vocab_size: int = 30522,
+                 layers: int = 6, heads: int = 12, intermediate: Optional[int] = None,
+                 seed: int = 0, params=None):
+        self.module = TransformerQuestionEncoder(
+            vocab_size=vocab_size, hidden=word_dim, layers=layers, heads=heads,
+            intermediate=intermediate or 4 * word_dim)
+        if params is None:
+            dummy_tok = jnp.zeros((1, 8), jnp.int32)
+            dummy_mask = jnp.ones((1, 8), jnp.float32)
+            params = self.module.init(jax.random.PRNGKey(seed), dummy_tok, dummy_mask)
+        self.params = params
+        self._fwd = jax.jit(lambda tok, mask: self.module.apply(self.params, tok, mask))
+
+    @classmethod
+    def from_hf(cls, lm: str, **kw) -> "FrozenLM":
+        """Load a local HF torch checkpoint (sbert/bert/...) into the flax
+        encoder. Raises when assets are unavailable."""
+        from ..utils.hf_import import load_hf_encoder
+        params, dims = load_hf_encoder(lm)
+        return cls(word_dim=dims["hidden"], vocab_size=dims["vocab"],
+                   layers=dims["layers"], heads=dims["heads"],
+                   intermediate=dims["intermediate"], params=params, **kw)
+
+    def encode(self, tokens: np.ndarray, mask: Optional[np.ndarray] = None,
+               pad_id: int = 0, batch: int = 256) -> np.ndarray:
+        """tokens [N, L] -> hidden [N, L, D] (host numpy, chunked)."""
+        tokens = np.asarray(tokens, dtype=np.int32)
+        if mask is None:
+            mask = (tokens != pad_id).astype(np.float32)
+        outs = []
+        for i in range(0, len(tokens), batch):
+            outs.append(np.asarray(self._fwd(tokens[i:i + batch], mask[i:i + batch])))
+        return np.concatenate(outs, axis=0) if outs else np.zeros(
+            tokens.shape + (self.module.hidden,), np.float32)
+
+
+def maybe_frozen_lm(lm: str, word_dim: int, seed: int = 0) -> FrozenLM:
+    """HF weights when available, deterministic random encoder otherwise."""
+    try:
+        return FrozenLM.from_hf(lm)
+    except Exception:
+        return FrozenLM(word_dim=word_dim, seed=seed)

@@ -1,0 +1,115 @@
+"""Host-side retrieval metrics: eps-cumulative candidate extraction and
+precision/recall/F1/Hit@1/EM.
+
+Exact ports of the candidate semantics the LLM half depends on:
+* candidate filtering (reference: gnn/evaluate.py:188-208): drop seed
+  entities, padding slots, and probs below (1 - eps) / max_local_entity
+  (dataset-global max, parsing.py:62 eps=0.95);
+* cumulative-probability cutoff: candidates sorted by prob desc are taken
+  until the running prob mass exceeds eps (evaluate.py:40-50,
+  base_model.py:217-246).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def extract_candidates(probs: np.ndarray, entity_gids: np.ndarray,
+                       query_entities: np.ndarray, pad_ent_id: int,
+                       ignore_prob: float) -> List[Tuple[int, float]]:
+    """Per-sample candidate list in local slot order (evaluate.py:195-208)."""
+    out: List[Tuple[int, float]] = []
+    for c, p, s in zip(entity_gids.tolist(), probs.tolist(),
+                       query_entities.tolist()):
+        if s == 1.0:        # seed entities excluded (evaluate.py:196-203)
+            continue
+        if c == pad_ent_id:
+            continue
+        if p < ignore_prob:
+            continue
+        out.append((c, p))
+    return out
+
+
+def f1_and_hits_eval(answers: Sequence[int],
+                     candidate2prob: Sequence[Tuple[int, float]],
+                     eps: float = 0.95):
+    """Returns (precision, recall, f1, hit, em, case, retrieved) with the
+    reference's exact edge-case conventions (evaluate.py:25-67). ``retrieved``
+    keeps raw global ids; callers map to mids/names."""
+    cand_list = sorted(candidate2prob, key=lambda x: x[1], reverse=True)
+    best_ans = cand_list[0][0] if cand_list else -1
+    answers_set = set(answers)
+    retrieved: List[Tuple[int, float]] = []
+    correct = 0
+    tp_prob = 0.0
+    for c, prob in cand_list:
+        retrieved.append((c, prob))
+        tp_prob += prob
+        if c in answers_set:
+            correct += 1
+        if tp_prob > eps:
+            break
+    em = 1 if correct > 0 else 0
+    if len(answers) == 0:
+        if len(retrieved) == 0:
+            return 1.0, 1.0, 1.0, 1.0, 1.0, 0, retrieved
+        return 0.0, 1.0, 0.0, 1.0, 1.0, 1, retrieved
+    hits = float(best_ans in answers_set)
+    if len(retrieved) == 0:
+        return 1.0, 0.0, 0.0, hits, hits, 2, retrieved
+    p = correct / len(retrieved)
+    r = correct / len(answers)
+    f1 = 2.0 / (1.0 / p + 1.0 / r) if p != 0 and r != 0 else 0.0
+    return p, r, f1, hits, em, 3, retrieved
+
+
+def f1_and_hits_train(answers: Sequence[int],
+                      candidate2prob: Sequence[Tuple[int, float]],
+                      eps: float = 0.95):
+    """Training-time variant (base_model.py:217-246): returns
+    (precision, recall, f1, hits); em/case/retrieved not tracked."""
+    p, r, f1, hits, _, _, _ = f1_and_hits_eval(answers, candidate2prob, eps)
+    return p, r, f1, hits
+
+
+def train_batch_f1(pred_dist: np.ndarray, answer_dist: np.ndarray,
+                   h1_vec: np.ndarray, entity_gids: np.ndarray,
+                   seed_dist: np.ndarray, pad_ent_id: int,
+                   eps: float) -> List[float]:
+    """Training F1 computed only for Hit@1-positive samples
+    (base_model.py:249-285). ``seed_dist`` is the SEED DISTRIBUTION (s > 0
+    skips), unlike eval which uses the binary query_entities (s == 1.0)."""
+    B, E = pred_dist.shape
+    ignore_prob = (1 - eps) / E
+    f1s: List[float] = []
+    for b in range(B):
+        if h1_vec[b] == 0.0:
+            f1s.append(0.0)
+            continue
+        answer_list = []
+        cand2prob = []
+        for c, p, pa, s in zip(entity_gids[b].tolist(), pred_dist[b].tolist(),
+                               answer_dist[b].tolist(), seed_dist[b].tolist()):
+            if s > 0:
+                continue
+            if c == pad_ent_id:
+                continue
+            if pa > 0:
+                answer_list.append(c)
+            if p < ignore_prob:
+                continue
+            cand2prob.append((c, p))
+        _, _, f1, _ = f1_and_hits_train(answer_list, cand2prob, eps)
+        f1s.append(f1)
+    return f1s
+
+
+def cal_accuracy(pred: np.ndarray, answer_dist: np.ndarray) -> Tuple[float, float]:
+    """(top-1 accuracy, answerable fraction) — evaluate.py:10-22."""
+    num_correct = sum(float(answer_dist[i, l] != 0) for i, l in enumerate(pred))
+    num_answerable = sum(1.0 for dist in answer_dist if np.sum(dist) != 0)
+    return num_correct / len(pred), num_answerable / len(pred)

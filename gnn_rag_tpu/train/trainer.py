@@ -1,0 +1,217 @@
+"""Trainer: epoch loop, Adam + exponential decay, gradient clipping, best-H1/F1
+checkpointing, final test eval.
+
+Functional JAX re-design of Trainer_KBQA (reference: gnn/train_model.py:24-253):
+the whole optimisation step — forward, loss, grads, clip, Adam update — is one
+jitted function; host work is batch assembly and metric aggregation only.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.loader import KGQADataset
+from ..models import ReaRev
+from ..models import base as model_base
+from ..utils.checkpoint import load_pytree, save_pytree
+from ..utils.logging import create_logger
+from .evaluate import Evaluator
+from .metrics import train_batch_f1
+
+
+def build_model(cfg: Config, num_entity: int, num_kb_relation: int,
+                num_word: int = 0):
+    name = cfg.model.model_name
+    if name == "ReaRev":
+        return ReaRev(cfg=cfg.model, num_entity=num_entity,
+                      num_relation=num_kb_relation, num_word=num_word)
+    if name == "NSM":
+        from ..models.nsm import NSM
+        return NSM(cfg=cfg.model, num_entity=num_entity,
+                   num_relation=num_kb_relation, num_word=num_word)
+    if name == "GraftNet":
+        from ..models.graftnet import GraftNet
+        return GraftNet(cfg=cfg.model, num_entity=num_entity,
+                        num_relation=num_kb_relation, num_word=num_word)
+    raise ValueError(f"unknown model {name}")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, train_data: Optional[KGQADataset],
+                 valid_data: KGQADataset, test_data: KGQADataset,
+                 num_entity: int, num_kb_relation: int, num_word: int = 0,
+                 rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
+                 id2entity: Optional[dict] = None, logger=None):
+        self.cfg = cfg
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.test_data = test_data
+        self.num_entity = num_entity
+        self.rel_args = tuple(
+            jnp.asarray(x) if x is not None else None
+            for x in (rel_hidden, rel_hidden_inv, rel_text_mask))
+        self.logger = logger or create_logger("trainer", cfg.train.checkpoint_dir,
+                                              config=cfg.model)
+        self.model = build_model(cfg, num_entity, num_kb_relation, num_word)
+
+        # --- init params on a sample batch ---
+        sample = (train_data or test_data)
+        init_batch = sample.make_batch(sample.batch_indices(0, 2))
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params = self.model.init(init_rng, init_batch, *self.rel_args)
+
+        # --- optimiser: clip -> Adam with per-epoch exponential decay
+        #     (train_model.py:89-94,133-134) ---
+        steps_per_epoch = max(
+            1, math.ceil((train_data.num_data if train_data else 1)
+                         / cfg.train.batch_size))
+        if cfg.train.decay_rate > 0:
+            schedule = optax.exponential_decay(
+                cfg.train.lr, transition_steps=steps_per_epoch,
+                decay_rate=cfg.train.decay_rate, staircase=True)
+        else:
+            schedule = cfg.train.lr
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.gradient_clip),
+            optax.adam(schedule))
+        self.opt_state = self.tx.init(self.params)
+
+        num_iter = {"ReaRev": cfg.model.num_iter, "NSM": cfg.model.num_step,
+                    "GraftNet": cfg.model.num_layer}[cfg.model.model_name]
+        self.evaluator = Evaluator(eps=cfg.model.eps, num_entity=num_entity,
+                                   id2entity=id2entity or {},
+                                   num_iter=num_iter)
+        self.best_h1 = 0.0
+        self.best_f1 = 0.0
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------ steps
+    def _train_step_impl(self, params, opt_state, rng, batch):
+        def loss_fn(p):
+            loss, pred, pred_dist = self.model.apply(
+                p, batch, *self.rel_args, training=True,
+                rngs={"dropout": rng})
+            return loss, (pred, pred_dist)
+
+        (loss, (pred, pred_dist)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        h1 = model_base.calc_h1(pred_dist, batch.answer_dist)
+        return params, opt_state, loss, h1, pred_dist
+
+    def _eval_step_impl(self, params, batch):
+        return self.model.apply(params, batch, *self.rel_args, training=False)
+
+    # ------------------------------------------------------------------ loops
+    def train_epoch(self):
+        cfg = self.cfg.train
+        data = self.train_data
+        rng_np = np.random.default_rng(int(jax.random.randint(
+            self.rng, (), 0, 2**31 - 1)))
+        self.rng, _ = jax.random.split(self.rng)
+        data.reset_batches(is_sequential=False, rng=rng_np)
+        num_batches = math.ceil(data.num_data / cfg.batch_size)
+        losses, h1_all, f1_all = [], [], []
+        for it in range(num_batches):
+            idx = data.batch_indices(it, cfg.batch_size)
+            batch = data.make_batch(idx, batch_pad_to=cfg.batch_size)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss, h1, pred_dist = self._train_step(
+                self.params, self.opt_state, step_rng, batch)
+            losses.append(float(loss))
+            h1_np = np.asarray(h1)[: len(idx)]
+            h1_all.extend(h1_np.tolist())
+            f1_all.extend(train_batch_f1(
+                np.asarray(pred_dist)[: len(idx)],
+                np.asarray(batch.answer_dist)[: len(idx)], h1_np,
+                np.asarray(batch.entity_gids)[: len(idx)],
+                np.asarray(batch.seed_dist)[: len(idx)],
+                self.num_entity, self.cfg.model.eps))
+        return float(np.mean(losses)), h1_all, f1_all
+
+    def evaluate(self, data: KGQADataset, test_batch_size: Optional[int] = None,
+                 write_info: bool = False, info_path: Optional[str] = None):
+        bs = test_batch_size or self.cfg.train.test_batch_size
+        return self.evaluator.evaluate(
+            data, lambda b: self._eval_step(self.params, b), bs,
+            write_info=write_info, info_path=info_path)
+
+    def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
+        cfg = self.cfg.train
+        end_epoch = cfg.num_epoch - 1 if end_epoch is None else end_epoch
+        for epoch in range(start_epoch, end_epoch + 1):
+            st = time.time()
+            loss, h1_list, f1_list = self.train_epoch()
+            self.logger.info("Epoch: %d, loss: %.4f, time: %.1fs",
+                             epoch + 1, loss, time.time() - st)
+            self.logger.info("Training h1: %.4f, f1: %.4f",
+                             float(np.mean(h1_list)), float(np.mean(f1_list)))
+            if (epoch + 1) % cfg.eval_every == 0:
+                eval_f1, eval_h1, eval_em = self.evaluate(self.valid_data)
+                self.logger.info("EVAL F1: %.4f, H1: %.4f, EM: %.4f",
+                                 eval_f1, eval_h1, eval_em)
+                if epoch > cfg.warmup_epoch:
+                    if eval_h1 > self.best_h1:
+                        self.best_h1 = eval_h1
+                        self.save_ckpt("h1")
+                    if eval_f1 > self.best_f1:
+                        self.best_f1 = eval_f1
+                        self.save_ckpt("f1")
+                test_f1, test_h1, test_em = self.evaluate(self.test_data)
+                self.logger.info("TEST F1: %.4f, H1: %.4f, EM: %.4f",
+                                 test_f1, test_h1, test_em)
+        self.save_ckpt("final")
+        self.evaluate_best()
+
+    def evaluate_best(self):
+        for reason in ("h1", "f1", "final"):
+            path = self._ckpt_path(reason)
+            try:
+                self.load_ckpt(path)
+            except Exception:
+                continue
+            f1, h1, em = self.evaluate(self.test_data)
+            self.logger.info("Best %s evaluation — TEST F1: %.4f, H1: %.4f, EM: %.4f",
+                             reason, f1, h1, em)
+
+    def evaluate_single(self, ckpt_path: Optional[str] = None,
+                        info_path: Optional[str] = None):
+        """Eval-only entry (train_model.py:201-207): dev metrics + test .info."""
+        if ckpt_path:
+            self.load_ckpt(ckpt_path)
+        ev = self.evaluate(self.valid_data)
+        self.logger.info("EVAL F1: %.4f, H1: %.4f, EM: %.4f", *ev)
+        info_path = info_path or os.path.join(
+            self.cfg.train.checkpoint_dir,
+            f"{self.cfg.train.experiment_name}_test.info")
+        te = self.evaluate(self.test_data, write_info=True, info_path=info_path)
+        self.logger.info("TEST F1: %.4f, H1: %.4f, EM: %.4f", *te)
+        return ev, te
+
+    # ------------------------------------------------------------------ ckpts
+    def _ckpt_path(self, reason: str) -> str:
+        os.makedirs(self.cfg.train.checkpoint_dir, exist_ok=True)
+        return os.path.join(self.cfg.train.checkpoint_dir,
+                            f"{self.cfg.train.experiment_name}-{reason}.ckpt")
+
+    def save_ckpt(self, reason: str = "h1"):
+        path = self._ckpt_path(reason)
+        save_pytree(path, self.params)
+        self.logger.info("Best %s, saved model as %s", reason, path)
+
+    def load_ckpt(self, path: str):
+        self.params = load_pytree(path, self.params)

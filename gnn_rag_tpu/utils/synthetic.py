@@ -74,6 +74,62 @@ def random_graph_batch(rng: np.random.Generator, *, batch_size: int = 8,
     )
 
 
+def random_records(rng: np.random.Generator, *, n_questions: int = 16,
+                   n_entities_max: int = 24, n_facts_max: int = 64,
+                   num_relation: int = 16, num_entity_global: int = 1000,
+                   use_self_loop: bool = True, cwq_style: bool = False,
+                   learnable: bool = True):
+    """Random QuestionRecords + KGQADataset for end-to-end tests.
+
+    With ``learnable=True`` every question's answer is a 1-hop neighbour of
+    the seed through a question-specific relation, so a trained model can
+    actually fit the data."""
+    from ..data.loader import KGQADataset, QuestionRecord
+
+    self_rel = num_relation - 1
+    records = []
+    for qi in range(n_questions):
+        ne = int(rng.integers(6, n_entities_max + 1))
+        nf = int(rng.integers(ne, max(ne + 1, n_facts_max - ne)))
+        heads = rng.integers(0, ne, nf).astype(np.int32)
+        tails = rng.integers(0, ne, nf).astype(np.int32)
+        rels = rng.integers(0, num_relation - 1, nf).astype(np.int32)
+        seed = int(rng.integers(0, ne))
+        answer_local = int(rng.integers(0, ne))
+        while answer_local == seed:
+            answer_local = int(rng.integers(0, ne))
+        rel_q = qi % max(1, num_relation - 1)
+        if learnable:
+            # plant the discriminative edge seed --rel_q--> answer
+            heads[0], rels[0], tails[0] = seed, rel_q, answer_local
+        if use_self_loop:
+            ar = np.arange(ne, dtype=np.int32)
+            heads = np.concatenate([heads, ar])
+            tails = np.concatenate([tails, ar])
+            rels = np.concatenate([rels, np.full(ne, self_rel, np.int32)])
+        droppable = np.ones(len(heads), bool)
+        if use_self_loop:
+            droppable[-ne:] = False
+        pair_keys = heads.astype(np.int64) * (num_relation + 1) + rels
+        _, inv, counts = np.unique(pair_keys, return_inverse=True,
+                                   return_counts=True)
+        gids = rng.choice(num_entity_global, size=ne, replace=False)
+        records.append(QuestionRecord(
+            qid=f"q{qi}", question=f"synthetic question {qi} rel {rel_q}",
+            heads=heads, rels=rels, tails=tails, droppable=droppable,
+            rel_pair_weight=(1.0 / counts[inv]).astype(np.float32),
+            entity_gids=gids.astype(np.int64),
+            seed_locals=np.asarray([seed], np.int32),
+            candidate_masked_seeds=not cwq_style,
+            answer_gids=[int(gids[answer_local])],
+            answer_locals=np.asarray([answer_local], np.int32),
+            q_token_ids=np.asarray([1, 3 + qi, 3 + rel_q, 2], np.int32),
+        ))
+    ds = KGQADataset(records, num_entity=num_entity_global,
+                     num_kb_relation=num_relation)
+    return ds
+
+
 def random_rel_hidden(rng: np.random.Generator, num_relation_rows: int,
                       rel_len: int = 8, word_dim: int = 384):
     """Random frozen-LM relation token states + mask."""
