@@ -1,11 +1,18 @@
 import os
 import sys
 
-# Multi-device CPU simulation must be configured before jax is imported.
+# Multi-device CPU simulation must be configured before jax initialises its
+# backends. The axon sitecustomize in this image force-selects the TPU
+# platform regardless of JAX_PLATFORMS, so reset the config knob directly.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
