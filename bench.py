@@ -43,7 +43,7 @@ def bench_tpu() -> float:
     rng = np.random.default_rng(0)
     batch = random_graph_batch(rng, batch_size=B, n_entities=E, n_facts=F,
                                num_relation=NUM_REL, word_dim=WORD_DIM,
-                               q_len=16)
+                               q_len=16, build_layout=True)
     rel_h, rel_hinv, rel_mask = random_rel_hidden(rng, NUM_REL + 1, REL_LEN,
                                                   WORD_DIM)
     cfg = ModelConfig(entity_dim=D, num_iter=NUM_ITER, num_ins=NUM_INS,

@@ -56,6 +56,8 @@ class GraphBatch:
     # optional degree-normalisation weights (reference: dataset_load.py:509-517)
     fact_weight: Optional[jnp.ndarray] = None      # float32 [B, F]  1/out-degree(head)
     fact_rel_weight: Optional[jnp.ndarray] = None  # float32 [B, F]  1/count(head, rel)
+    # optional tile-sorted layout for the Pallas kernels (data.kernel_layout)
+    layout: Optional[object] = None                # KernelLayout pytree
 
     @property
     def batch_size(self) -> int:

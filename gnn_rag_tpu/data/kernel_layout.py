@@ -1,0 +1,126 @@
+"""Tile-sorted fact layout for the Pallas scatter kernel.
+
+The hot op of every GNN model here is scatter-add of per-fact values into
+entity slots (the reference's ``sparse.mm(fact2tail_mat, fact_val)``,
+reasongnn.py:84). XLA lowers that to a serialized scatter on TPU. Instead we
+pre-sort each sample's facts by *target-entity tile* (tile = TILE_E
+consecutive local entity slots) and pad each tile's facts to TILE_F-chunks.
+The scatter then becomes, per chunk, a [TILE_F, TILE_E] one-hot matrix
+product with the chunk's [TILE_F, C] values on the MXU, accumulated in VMEM
+while consecutive chunks map to the same entity tile (ops.pallas_mp).
+
+Two layouts are built, one per message direction:
+* ``fwd``  — sorted by tail tile (scatter into tails; gather prior at heads);
+* ``inv``  — sorted by head tile (scatter into heads; gather prior at tails).
+
+Padded chunk slots carry ``scatter == -1`` (never matches an entity row) and
+``gather == 0`` / ``rel == pad_rel`` (any valid index; their one-hot row is
+all-zero so the value is ignored).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+TILE_E = 128   # entity rows per output tile (TPU lane width)
+TILE_F = 128   # facts per chunk
+
+
+class DirectionLayout(NamedTuple):
+    scatter: np.ndarray      # int32 [B, Fp]  target local entity (-1 = pad)
+    gather: np.ndarray       # int32 [B, Fp]  source local entity (0 on pads)
+    rels: np.ndarray         # int32 [B, Fp]  relation id (pad_rel on pads)
+    chunk_tiles: np.ndarray  # int32 [B, NC]  entity-tile index per chunk
+    weight: np.ndarray       # float32 [B, Fp] per-fact weight (0 on pads)
+
+
+class KernelLayout(NamedTuple):
+    fwd: DirectionLayout
+    inv: DirectionLayout
+    num_entities: int        # E (multiple of TILE_E)
+
+
+def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
+                     rels_g: np.ndarray, weight_g: np.ndarray,
+                     fact_mask: np.ndarray, E: int, pad_rel: int,
+                     tile_e: int, tile_f: int):
+    """Per-batch host build for one direction. Returns lists of per-sample
+    (scatter, gather, rels, weight, chunk_tiles)."""
+    B, F = scatter_g.shape
+    n_tiles = E // tile_e
+    out = []
+    for b in range(B):
+        valid = fact_mask[b] > 0
+        sc = scatter_g[b][valid]
+        ga = gather_g[b][valid]
+        rl = rels_g[b][valid]
+        wt = weight_g[b][valid]
+        tile = sc // tile_e
+        order = np.argsort(tile, kind="stable")
+        sc, ga, rl, wt, tile = sc[order], ga[order], rl[order], wt[order], tile[order]
+        counts = np.bincount(tile, minlength=n_tiles)
+        chunks_per_tile = np.maximum(1, -(-counts // tile_f))
+        nc = int(chunks_per_tile.sum())
+        Fp = nc * tile_f
+        o_sc = np.full(Fp, -1, np.int32)
+        o_ga = np.zeros(Fp, np.int32)
+        o_rl = np.full(Fp, pad_rel, np.int32)
+        o_wt = np.zeros(Fp, np.float32)
+        o_ct = np.empty(nc, np.int32)
+        src = 0
+        chunk = 0
+        for t in range(n_tiles):
+            cnt = int(counts[t])
+            nch = int(chunks_per_tile[t])
+            dst = chunk * tile_f
+            o_sc[dst:dst + cnt] = sc[src:src + cnt]
+            o_ga[dst:dst + cnt] = ga[src:src + cnt]
+            o_rl[dst:dst + cnt] = rl[src:src + cnt]
+            o_wt[dst:dst + cnt] = wt[src:src + cnt]
+            o_ct[chunk:chunk + nch] = t
+            src += cnt
+            chunk += nch
+        out.append((o_sc, o_ga, o_rl, o_wt, o_ct))
+    return out
+
+
+def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
+                        fact_mask: np.ndarray, E: int, pad_rel: int,
+                        fact_weight: np.ndarray | None = None,
+                        tile_e: int = TILE_E, tile_f: int = TILE_F
+                        ) -> KernelLayout:
+    """Build both direction layouts from padded canonical COO arrays.
+
+    E must be a multiple of tile_e (loader buckets guarantee 128-multiples).
+    """
+    assert E % tile_e == 0, (E, tile_e)
+    B, F = heads.shape
+    heads = np.asarray(heads); rels = np.asarray(rels); tails = np.asarray(tails)
+    fact_mask = np.asarray(fact_mask)
+    weight = (np.asarray(fact_weight, np.float32) if fact_weight is not None
+              else fact_mask.astype(np.float32))
+
+    def pack(samples):
+        nc = max(len(s[4]) for s in samples)
+        Fp = nc * tile_f
+        sc = np.full((B, Fp), -1, np.int32)
+        ga = np.zeros((B, Fp), np.int32)
+        rl = np.full((B, Fp), pad_rel, np.int32)
+        wt = np.zeros((B, Fp), np.float32)
+        # padding chunks repeat the sample's last tile so they never trigger
+        # a fresh zero-init of an unrelated tile in the kernel
+        ct = np.empty((B, nc), np.int32)
+        for b, (s, g, r, w, c) in enumerate(samples):
+            sc[b, :len(s)] = s; ga[b, :len(g)] = g
+            rl[b, :len(r)] = r; wt[b, :len(w)] = w
+            ct[b, :len(c)] = c
+            ct[b, len(c):] = c[-1] if len(c) else 0
+        return DirectionLayout(sc, ga, rl, ct, wt)
+
+    fwd = pack(_build_direction(tails, heads, rels, weight, fact_mask, E,
+                                pad_rel, tile_e, tile_f))
+    inv = pack(_build_direction(heads, tails, rels, weight, fact_mask, E,
+                                pad_rel, tile_e, tile_f))
+    return KernelLayout(fwd=fwd, inv=inv, num_entities=E)

@@ -224,7 +224,8 @@ class KGQADataset:
         return self._order[start:end]
 
     def make_batch(self, indices: Sequence[int], *,
-                   batch_pad_to: Optional[int] = None) -> GraphBatch:
+                   batch_pad_to: Optional[int] = None,
+                   build_layout: bool = False) -> GraphBatch:
         recs = [self.records[i] for i in indices]
         B = batch_pad_to or len(recs)
         E = bucketize(max(r.n_entities for r in recs), self.entity_buckets)
@@ -264,6 +265,13 @@ class KGQADataset:
             answer_dist[i, r.answer_locals] = 1.0
             q_tokens[i, : len(r.q_token_ids)] = r.q_token_ids
 
+        layout = None
+        if build_layout:
+            from .kernel_layout import build_kernel_layout
+            layout = build_kernel_layout(
+                heads, rels, tails, fact_mask, E,
+                pad_rel=self.num_kb_relation, fact_weight=rel_pair_w)
+
         q_hidden = None
         if self.q_hidden is not None:
             D = self.q_hidden[0].shape[-1]
@@ -279,7 +287,7 @@ class KGQADataset:
             query_entities=query_entities, answer_dist=answer_dist,
             q_tokens=q_tokens, q_mask=(q_tokens != self.pad_token_id).astype(np.float32),
             q_hidden=q_hidden,
-            fact_weight=None, fact_rel_weight=rel_pair_w,
+            fact_weight=None, fact_rel_weight=rel_pair_w, layout=layout,
         )
 
     def answers_for(self, indices: Sequence[int]) -> List[List[int]]:

@@ -64,7 +64,10 @@ class QueryReform(nn.Module):
 
 class TypeLayer(nn.Module):
     """Entity init from incident relation types (layer_init.py:25-62):
-    node features = relu(scatter_tails(W r) + scatter_heads(W r))."""
+    node features = relu(scatter_tails(W r) + scatter_heads(W r)).
+
+    With a kernel layout present, both scatters run as fused Pallas
+    one-hot matmuls (ops.pallas_mp)."""
 
     entity_dim: int
     norm_rel: bool = False
@@ -73,14 +76,38 @@ class TypeLayer(nn.Module):
     def __call__(self, rel_features: jnp.ndarray, heads: jnp.ndarray,
                  rels: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
                  num_entities: int,
-                 rel_pair_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 rel_pair_weight: Optional[jnp.ndarray] = None,
+                 layout=None) -> jnp.ndarray:
+        D = self.entity_dim
+        din = rel_features.shape[-1]
+        w = self.param("kb_self_linear", nn.initializers.lecun_normal(),
+                       (din, D))
+        b = self.param("kb_self_linear_bias", nn.initializers.zeros, (D,))
+        if layout is not None:
+            from ..ops.pallas_mp import gate_scatter
+            B = heads.shape[0]
+            ones_ins = jnp.ones((B, 1, D), rel_features.dtype)
+
+            def prior(direction):
+                if self.norm_rel:
+                    return direction.weight
+                return (direction.scatter >= 0).astype(rel_features.dtype)
+
+            out = (gate_scatter(rel_features[layout.fwd.rels], w, b, ones_ins,
+                                prior(layout.fwd), layout.fwd, num_entities,
+                                apply_relu=False)[:, 0]
+                   + gate_scatter(rel_features[layout.inv.rels], w, b, ones_ins,
+                                  prior(layout.inv), layout.inv, num_entities,
+                                  apply_relu=False)[:, 0])
+            return jax.nn.relu(out)
+
         fact_rel = rel_features[rels]                                   # [B, F, D]
-        fact_val = nn.Dense(self.entity_dim, name="kb_self_linear")(fact_rel)
-        w = fact_mask
+        fact_val = fact_rel @ w + b
+        wgt = fact_mask
         if self.norm_rel and rel_pair_weight is not None:
-            w = w * rel_pair_weight
-        f2t = scatter_facts_to_entities(fact_val, tails, num_entities, w)
-        f2h = scatter_facts_to_entities(fact_val, heads, num_entities, w)
+            wgt = wgt * rel_pair_weight
+        f2t = scatter_facts_to_entities(fact_val, tails, num_entities, wgt)
+        f2h = scatter_facts_to_entities(fact_val, heads, num_entities, wgt)
         return jax.nn.relu(f2t + f2h)
 
 

@@ -60,43 +60,79 @@ class ReasonGNN(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         score_func = nn.Dense(1, name="score_func")
 
-        fact_w = fact_mask
-        if self.normalized_gnn:
-            fact_w = head_degree_weight(batch.heads, fact_mask, E)
+        layout = batch.layout if not self.pos_emb else None  # pos_emb: XLA path
 
-        # relation features per fact, both directions: [B, F, D]
-        fact_rel = rel_features[batch.rels]
-        fact_rel_inv = rel_features_inv[batch.rels]
+        if layout is not None:
+            from ..ops.pallas_mp import gate_scatter
+            from ..ops.segment import batched_segment_sum
+            fact_rel_f = rel_features[layout.fwd.rels]       # [B, Fp, D]
+            fact_rel_i = rel_features_inv[layout.inv.rels]
+            valid_f = (layout.fwd.scatter >= 0).astype(curr_dist.dtype)
+            valid_i = (layout.inv.scatter >= 0).astype(curr_dist.dtype)
+            if self.normalized_gnn:
+                # 1/out-degree(gather entity), squared: the reference applies
+                # the weight on both the prior and the scatter (base_gnn.py:38-48)
+                def w2(direction, valid):
+                    cnt = batched_segment_sum(valid, direction.gather, E)
+                    per = jnp.take_along_axis(cnt, direction.gather, axis=1)
+                    w = jnp.where(per > 0, 1.0 / jnp.maximum(per, 1.0), 0.0)
+                    return w * w * valid
+                norm_f = w2(layout.fwd, valid_f)
+                norm_i = w2(layout.inv, valid_i)
+            else:
+                norm_f, norm_i = valid_f, valid_i
+        else:
+            fact_w = fact_mask
+            if self.normalized_gnn:
+                fact_w = head_degree_weight(batch.heads, fact_mask, E)
+            # relation features per fact, both directions: [B, F, D]
+            fact_rel = rel_features[batch.rels]
+            fact_rel_inv = rel_features_inv[batch.rels]
 
         for step in range(self.num_gnn):
-            rel_linear = nn.Dense(D, name=f"rel_linear{step}")
-            rl_fwd = rel_linear(fact_rel)
-            rl_inv = rel_linear(fact_rel_inv)
-            if self.pos_emb:  # reasongnn.py:41-43, 74-77
-                rl_fwd = rl_fwd + nn.Embed(self.num_relation_rows, D,
-                                           name=f"pos_emb{step}")(batch.rels)
-                rl_inv = rl_inv + nn.Embed(self.num_relation_rows, D,
-                                           name=f"pos_emb_inv{step}")(batch.rels)
+            w_step = self.param(f"rel_linear{step}",
+                                nn.initializers.lecun_normal(), (D, D))
+            b_step = self.param(f"rel_linear{step}_bias",
+                                nn.initializers.zeros, (D,))
 
-            # gates: relu(rel_linear(rel) * instruction_j) for every j at once
-            gate_fwd = jax.nn.relu(rl_fwd[:, :, None, :] * instructions[:, None, :, :])
-            gate_inv = jax.nn.relu(rl_inv[:, :, None, :] * instructions[:, None, :, :])
-
-            # fact priors from the current distribution (reasongnn.py:80, 106)
-            prior_fwd = gather_entities_to_facts(curr_dist, batch.heads) * fact_w
-            prior_inv = gather_entities_to_facts(curr_dist, batch.tails) * fact_w
-
-            val_fwd = (gate_fwd * prior_fwd[:, :, None, None]).reshape(B, -1, J * D)
-            val_inv = (gate_inv * prior_inv[:, :, None, None]).reshape(B, -1, J * D)
-
-            # one scatter per direction (scatter weight = fact_w again,
-            # matching the reference's use of the same vals in fact2tail_mat)
-            nb_fwd = scatter_facts_to_entities(val_fwd, batch.tails, E, fact_w)
-            nb_inv = scatter_facts_to_entities(val_inv, batch.heads, E, fact_w)
-            nb_fwd = nb_fwd.reshape(B, E, J, D)
-            nb_inv = nb_inv.reshape(B, E, J, D)
-            # reference order: fwd_0, inv_0, fwd_1, inv_1, ... (reasongnn.py:150-156)
-            neighbors = jnp.stack([nb_fwd, nb_inv], axis=3).reshape(B, E, 2 * J * D)
+            if layout is not None:
+                # fused Pallas path: gather+gate+prior+scatter in one kernel
+                prior_f = jnp.take_along_axis(curr_dist, layout.fwd.gather,
+                                              axis=1) * norm_f
+                prior_i = jnp.take_along_axis(curr_dist, layout.inv.gather,
+                                              axis=1) * norm_i
+                nb_fwd = gate_scatter(fact_rel_f, w_step, b_step, instructions,
+                                      prior_f, layout.fwd, E)   # [B, J, E, D]
+                nb_inv = gate_scatter(fact_rel_i, w_step, b_step, instructions,
+                                      prior_i, layout.inv, E)
+                # reference order fwd_0, inv_0, fwd_1, inv_1 (reasongnn.py:150-156)
+                neighbors = jnp.stack([nb_fwd, nb_inv], axis=2)  # [B,J,2,E,D]
+                neighbors = jnp.moveaxis(neighbors, (1, 2), (2, 3)
+                                         ).reshape(B, E, 2 * J * D)
+            else:
+                rl_fwd = fact_rel @ w_step + b_step
+                rl_inv = fact_rel_inv @ w_step + b_step
+                if self.pos_emb:  # reasongnn.py:41-43, 74-77
+                    rl_fwd = rl_fwd + nn.Embed(self.num_relation_rows, D,
+                                               name=f"pos_emb{step}")(batch.rels)
+                    rl_inv = rl_inv + nn.Embed(self.num_relation_rows, D,
+                                               name=f"pos_emb_inv{step}")(batch.rels)
+                # gates: relu(rel_linear(rel) * instruction_j) for every j
+                gate_fwd = jax.nn.relu(rl_fwd[:, :, None, :] * instructions[:, None, :, :])
+                gate_inv = jax.nn.relu(rl_inv[:, :, None, :] * instructions[:, None, :, :])
+                # fact priors from the current distribution (reasongnn.py:80, 106)
+                prior_fwd = gather_entities_to_facts(curr_dist, batch.heads) * fact_w
+                prior_inv = gather_entities_to_facts(curr_dist, batch.tails) * fact_w
+                val_fwd = (gate_fwd * prior_fwd[:, :, None, None]).reshape(B, -1, J * D)
+                val_inv = (gate_inv * prior_inv[:, :, None, None]).reshape(B, -1, J * D)
+                # one scatter per direction (scatter weight = fact_w again,
+                # matching the reference's use of the same vals in fact2tail_mat)
+                nb_fwd = scatter_facts_to_entities(val_fwd, batch.tails, E, fact_w)
+                nb_inv = scatter_facts_to_entities(val_inv, batch.heads, E, fact_w)
+                nb_fwd = nb_fwd.reshape(B, E, J, D)
+                nb_inv = nb_inv.reshape(B, E, J, D)
+                # reference order: fwd_0, inv_0, ... (reasongnn.py:150-156)
+                neighbors = jnp.stack([nb_fwd, nb_inv], axis=3).reshape(B, E, 2 * J * D)
 
             nxt = jnp.concatenate([ent_emb, neighbors], axis=2)
             ent_emb = jax.nn.relu(
@@ -143,6 +179,9 @@ class ReaRev(nn.Module):
                 self.make_rng("dropout"), 1.0 - cfg.fact_drop, fact_mask.shape)
             is_self_loop = (batch.rels == self.num_relation - 1)
             fact_mask = fact_mask * jnp.where(is_self_loop, 1.0, keep.astype(fact_mask.dtype))
+            # fact dropout operates on the canonical mask; drop the kernel
+            # layout for this step so the dropped facts actually disappear
+            batch = batch.replace(layout=None)
 
         # ---- question encoding ----
         if cfg.lm == "lstm":
@@ -184,7 +223,7 @@ class ReaRev(nn.Module):
         # ---- entity init (TypeLayer; rearev.py:79-88) ----
         ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
             rel_features, batch.heads, batch.rels, batch.tails, fact_mask, E,
-            batch.fact_rel_weight)
+            batch.fact_rel_weight, layout=batch.layout)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = ReasonGNN(D, cfg.num_ins, cfg.num_gnn,

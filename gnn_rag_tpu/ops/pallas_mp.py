@@ -1,0 +1,288 @@
+"""Fused Pallas scatter: tiled one-hot matmul on the MXU.
+
+Replaces the XLA scatter-add in message passing (the ``fact2tail_mat @ vals``
+of reasongnn.py:84) with a scatter-free formulation over the tile-sorted
+layout of data.kernel_layout:
+
+  for each chunk c of TILE_F facts (all targeting one entity tile t):
+      onehot[TILE_F, TILE_E] = (scatter_idx - t*TILE_E == iota)
+      out[t] += onehot^T @ values[c]            # MXU matmul, VMEM accumulate
+
+The TPU grid is executed sequentially, so consecutive chunks of the same
+entity tile accumulate into the same VMEM-resident output block; a fresh tile
+zero-inits its block first. Cost: O(F * TILE_E * C) MACs instead of a
+serialized scatter — and the padded chunks make every shape static.
+
+Backward of a linear scatter is a gather: dV[b,f] = g[b, scatter_idx[b,f]].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data.kernel_layout import TILE_E, TILE_F
+
+
+def _scatter_kernel(chunk_tiles_ref, scatter_ref, values_ref, out_ref, *,
+                    tile_e: int, tile_f: int):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    et = chunk_tiles_ref[b, c]
+    prev_et = jnp.where(c > 0, chunk_tiles_ref[b, jnp.maximum(c - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(c == 0, et != prev_et))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    idx = scatter_ref[0, pl.ds(c, 1), :]                     # [1, TILE_F]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    onehot_t = ((idx - et * tile_e) == rows).astype(values_ref.dtype)
+    # fp32 values -> exact MXU passes; bf16 values -> fast native bf16
+    precision = (jax.lax.Precision.HIGHEST
+                 if values_ref.dtype == jnp.float32 else None)
+    contrib = jax.lax.dot_general(
+        onehot_t, values_ref[0, 0],                          # [TILE_E, TILE_F] @ [TILE_F, C]
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                 # [TILE_E, C]
+    out_ref[0] += contrib.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scatter_mm(values: jnp.ndarray, scatter_idx: jnp.ndarray,
+               chunk_tiles: jnp.ndarray, num_entities: int) -> jnp.ndarray:
+    """values [B, Fp, C] (kernel layout order), scatter_idx [B, Fp] (-1 pad),
+    chunk_tiles [B, NC] -> [B, E, C] float32."""
+    return _scatter_mm_fwd_impl(values, scatter_idx, chunk_tiles, num_entities)
+
+
+def _scatter_mm_fwd_impl(values, scatter_idx, chunk_tiles, num_entities,
+                         interpret: bool = False):
+    B, Fp, C = values.shape
+    NC = chunk_tiles.shape[1]
+    assert Fp == NC * TILE_F, (Fp, NC)
+    # full [NC, TILE_F] index block per sample (reused across the grid row)
+    scatter_idx = scatter_idx.reshape(B, NC, TILE_F)
+    values = values.reshape(B, NC, TILE_F, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_F, C), lambda b, c, ct: (b, c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_E, C),
+                               lambda b, c, ct: (b, ct[b, c], 0)),
+    )
+    kernel = functools.partial(_scatter_kernel, tile_e=TILE_E, tile_f=TILE_F)
+    flops = 2 * B * Fp * TILE_E * C
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, num_entities, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=values.size * values.dtype.itemsize
+            + B * num_entities * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunk_tiles, scatter_idx, values)
+
+
+def _scatter_mm_fwd(values, scatter_idx, chunk_tiles, num_entities):
+    out = _scatter_mm_fwd_impl(values, scatter_idx, chunk_tiles, num_entities)
+    return out, (scatter_idx, values.dtype)
+
+
+def _scatter_mm_bwd(num_entities, res, g):
+    scatter_idx, vdtype = res
+    safe = jnp.maximum(scatter_idx, 0)
+    dV = jnp.take_along_axis(g, safe[..., None], axis=1)
+    dV = jnp.where((scatter_idx >= 0)[..., None], dV, 0.0).astype(vdtype)
+    return dV, None, None
+
+
+scatter_mm.defvjp(_scatter_mm_fwd, _scatter_mm_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused gate + scatter: the whole ReaRev message op in one kernel.
+#
+# For one GNN step and direction (reasongnn.py:61-116) the per-fact work is
+#     val_j = relu((rel_feat[rels] @ W + b) * ins_j) * prior
+# followed by scatter-add into entities. Here the rel projection, the J
+# instruction gates, the prior scaling (folded into the one-hot matrix), and
+# the scatter all happen per chunk in VMEM; nothing of width J*D ever touches
+# HBM. Inputs are in kernel-layout order.
+# --------------------------------------------------------------------------
+
+
+def _fused_kernel(chunk_tiles_ref, scatter_ref, prior_ref, fact_rel_ref,
+                  w_ref, b_ref, ins_ref, out_ref, *, tile_e: int, tile_f: int,
+                  num_ins: int, dim: int, apply_relu: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    et = chunk_tiles_ref[b, c]
+    prev_et = jnp.where(c > 0, chunk_tiles_ref[b, jnp.maximum(c - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(c == 0, et != prev_et))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dtype = fact_rel_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+    rl = jax.lax.dot_general(
+        fact_rel_ref[0, 0], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) + b_ref[...]                    # [TILE_F, D]
+    rl = rl.astype(dtype)
+
+    idx = scatter_ref[0, pl.ds(c, 1), :]                     # [1, TILE_F]
+    pri = prior_ref[0, pl.ds(c, 1), :]                       # [1, TILE_F]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    onehot_pri = jnp.where((idx - et * tile_e) == rows,
+                           pri, 0.0).astype(dtype)           # [TILE_E, TILE_F]
+
+    for j in range(num_ins):
+        ins_j = ins_ref[0, pl.ds(j, 1), :]                   # [1, D]
+        val = rl * ins_j
+        if apply_relu:
+            val = jnp.maximum(val, 0.0)
+        contrib = jax.lax.dot_general(
+            onehot_pri, val,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                             # [TILE_E, D]
+        out_ref[0, j] += contrib.astype(out_ref.dtype)
+
+
+def _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles,
+                    num_entities, apply_relu, interpret=False):
+    B, Fp, D = fact_rel.shape
+    J = ins.shape[1]
+    NC = chunk_tiles.shape[1]
+    assert Fp == NC * TILE_F, (Fp, NC)
+    scatter_idx = scatter_idx.reshape(B, NC, TILE_F)
+    prior = prior.reshape(B, NC, TILE_F)
+    fact_rel = fact_rel.reshape(B, NC, TILE_F, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_F, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((D, D), lambda b, c, ct: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, c, ct: (0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, J, TILE_E, D),
+                               lambda b, c, ct: (b, 0, ct[b, c], 0)),
+    )
+    kernel = functools.partial(_fused_kernel, tile_e=TILE_E, tile_f=TILE_F,
+                               num_ins=J, dim=D, apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, J, num_entities, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Fp * D * (D + J * TILE_E),
+            bytes_accessed=fact_rel.size * fact_rel.dtype.itemsize
+            + B * num_entities * J * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunk_tiles, scatter_idx, prior, fact_rel, w, bias.reshape(1, D), ins)
+
+
+def fused_gate_scatter_reference(fact_rel, w, bias, ins, prior, scatter_idx,
+                                 chunk_tiles, num_entities, apply_relu=True):
+    """XLA fallback with identical semantics. Returns [B, J, E, D]."""
+    rl = jnp.einsum("bfd,de->bfe", fact_rel, w) + bias
+    val = rl[:, :, None, :] * ins[:, None, :, :]
+    if apply_relu:
+        val = jax.nn.relu(val)
+    val = val * prior[:, :, None, None]
+    B, Fp, J, D = val.shape
+    out = scatter_mm_reference(val.reshape(B, Fp, J * D), scatter_idx,
+                               chunk_tiles, num_entities)
+    return jnp.moveaxis(out.reshape(B, num_entities, J, D), 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_gate_scatter(fact_rel, w, bias, ins, prior, scatter_idx,
+                       chunk_tiles, num_entities, apply_relu=True):
+    """[B,Fp,D] facts -> [B,J,E,D] aggregated neighbour features."""
+    return _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx,
+                           chunk_tiles, num_entities, apply_relu)
+
+
+def _fused_fwd(fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles,
+               num_entities, apply_relu):
+    out = _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx,
+                          chunk_tiles, num_entities, apply_relu)
+    return out, (fact_rel, w, bias, ins, prior, scatter_idx)
+
+
+def _fused_bwd(num_entities, apply_relu, res, g):
+    fact_rel, w, bias, ins, prior, scatter_idx = res
+    B, Fp, D = fact_rel.shape
+    J = ins.shape[1]
+    # recompute activations (cheaper than stashing [B,Fp,J,D])
+    rl = jnp.einsum("bfd,de->bfe", fact_rel, w) + bias           # [B,Fp,D]
+    pre = rl[:, :, None, :] * ins[:, None, :, :]                 # [B,Fp,J,D]
+    act = jax.nn.relu(pre) if apply_relu else pre
+    # gather the output grad ([B,J,E,D]) at each fact's scatter target
+    safe = jnp.maximum(scatter_idx, 0)
+    g_flat = jnp.moveaxis(g, 1, 2).reshape(B, -1, J * D)     # [B,E,J*D]
+    gb = jnp.take_along_axis(g_flat, safe[..., None], axis=1)
+    gb = jnp.where((scatter_idx >= 0)[..., None], gb, 0.0)
+    gb = gb.reshape(B, Fp, J, D)
+    dprior = jnp.einsum("bfjd,bfjd->bf", gb, act)
+    dval = gb * prior[:, :, None, None]
+    if apply_relu:
+        dval = jnp.where(pre > 0, dval, 0.0)
+    drl = jnp.einsum("bfjd,bjd->bfd", dval, ins)
+    dins = jnp.einsum("bfjd,bfd->bjd", dval, rl)
+    dfact_rel = jnp.einsum("bfd,ed->bfe", drl, w)
+    dw = jnp.einsum("bfd,bfe->de", fact_rel, drl)
+    dbias = jnp.sum(drl, axis=(0, 1))
+    return (dfact_rel.astype(fact_rel.dtype), dw.astype(w.dtype),
+            dbias.astype(bias.dtype), dins.astype(ins.dtype),
+            dprior.astype(prior.dtype), None, None)
+
+
+fused_gate_scatter.defvjp(_fused_fwd, _fused_bwd)
+
+
+def scatter_mm_reference(values, scatter_idx, chunk_tiles, num_entities):
+    """XLA fallback with identical semantics (for CPU tests)."""
+    from .segment import batched_segment_sum
+    mask = (scatter_idx >= 0).astype(values.dtype)
+    vals = values * mask[..., None]
+    return batched_segment_sum(
+        vals, jnp.maximum(scatter_idx, 0), num_entities).astype(jnp.float32)
+
+
+def scatter_to_entities(values, scatter_idx, chunk_tiles, num_entities,
+                        use_pallas: bool = True):
+    if use_pallas:
+        return scatter_mm(values, scatter_idx, chunk_tiles, num_entities)
+    return scatter_mm_reference(values, scatter_idx, chunk_tiles, num_entities)
+
+
+def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
+                 apply_relu=True):
+    """Dispatch the fused op: Mosaic kernel on TPU, XLA reference elsewhere.
+
+    direction: a data.kernel_layout.DirectionLayout (device arrays).
+    """
+    fn = (fused_gate_scatter if jax.default_backend() == "tpu"
+          else fused_gate_scatter_reference)
+    return fn(fact_rel, w, bias, ins, prior, direction.scatter,
+              direction.chunk_tiles, num_entities, apply_relu)

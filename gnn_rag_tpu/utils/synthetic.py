@@ -17,7 +17,8 @@ def random_graph_batch(rng: np.random.Generator, *, batch_size: int = 8,
                        num_relation: int = 64, num_entity_global: int = 100_000,
                        q_len: int = 16, word_dim: int | None = 384,
                        use_self_loop: bool = True,
-                       cwq_style: bool = False) -> GraphBatch:
+                       cwq_style: bool = False,
+                       build_layout: bool = False) -> GraphBatch:
     """num_relation = num_kb_relation (incl. self-loop row if enabled)."""
     B, E, F, L = batch_size, n_entities, n_facts, q_len
 
@@ -64,6 +65,12 @@ def random_graph_batch(rng: np.random.Generator, *, batch_size: int = 8,
     if word_dim:
         q_hidden = rng.standard_normal((B, L, word_dim)).astype(np.float32) * 0.1
 
+    layout = None
+    if build_layout:
+        from ..data.kernel_layout import build_kernel_layout
+        layout = build_kernel_layout(heads, rels, tails, fact_mask, E,
+                                     pad_rel=num_relation)
+
     return GraphBatch(
         heads=heads, rels=rels, tails=tails, fact_mask=fact_mask,
         entity_gids=entity_gids.astype(np.int32), ent_present=ent_present,
@@ -71,6 +78,7 @@ def random_graph_batch(rng: np.random.Generator, *, batch_size: int = 8,
         answer_dist=answer_dist, q_tokens=q_tokens, q_mask=q_mask,
         q_hidden=q_hidden, fact_weight=None,
         fact_rel_weight=np.ones((B, F), np.float32) * fact_mask,
+        layout=layout,
     )
 
 
