@@ -19,7 +19,8 @@ def kl_loss_vec(pred_dist: jnp.ndarray, answer_dist: jnp.ndarray) -> jnp.ndarray
     answer_len = jnp.where(answer_len == 0, 1.0, answer_len)
     answer_prob = answer_dist / answer_len
     log_pred = jnp.log(pred_dist + 1e-8)
-    safe_log_ans = jnp.where(answer_prob > 0, jnp.log(jnp.maximum(answer_prob, 1e-38)), 0.0)
+    # log(where(p>0, p, 1)) keeps gradients NaN-free at p == 0
+    safe_log_ans = jnp.log(jnp.where(answer_prob > 0, answer_prob, 1.0))
     return jnp.where(answer_prob > 0, answer_prob * (safe_log_ans - log_pred), 0.0)
 
 
@@ -53,7 +54,7 @@ def js_div_vec(dist_1: jnp.ndarray, dist_2: jnp.ndarray) -> jnp.ndarray:
     log_mean = jnp.log(mean + 1e-8)
 
     def kld(target):
-        safe_log_t = jnp.where(target > 0, jnp.log(jnp.maximum(target, 1e-38)), 0.0)
+        safe_log_t = jnp.log(jnp.where(target > 0, target, 1.0))
         return jnp.where(target > 0, target * (safe_log_t - log_mean), 0.0)
 
     return 0.5 * (kld(dist_1) + kld(dist_2))
