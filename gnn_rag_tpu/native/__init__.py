@@ -1,0 +1,155 @@
+"""ctypes binding for the native graphpath library.
+
+Builds libgraphpath.so on first import when missing (g++ via make); callers
+must handle `available() == False` (pure-Python fallback in rag.graph_utils).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libgraphpath.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.gp_build.restype = ctypes.c_void_p
+    lib.gp_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_int64, ctypes.c_int32]
+    lib.gp_free.argtypes = [ctypes.c_void_p]
+    lib.gp_all_shortest_paths.restype = ctypes.c_int64
+    lib.gp_all_shortest_paths.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.gp_bfs_dist.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int32, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeGraph:
+    """Integer-id undirected graph backed by the C++ CSR."""
+
+    def __init__(self, heads: np.ndarray, rels: np.ndarray,
+                 tails: np.ndarray, n_nodes: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libgraphpath.so unavailable")
+        self._lib = lib
+        heads = np.ascontiguousarray(heads, np.int32)
+        rels = np.ascontiguousarray(rels, np.int32)
+        tails = np.ascontiguousarray(tails, np.int32)
+        self.n_nodes = int(n_nodes)
+        self._handle = lib.gp_build(
+            heads.ctypes.data_as(ctypes.c_void_p),
+            rels.ctypes.data_as(ctypes.c_void_p),
+            tails.ctypes.data_as(ctypes.c_void_p),
+            len(heads), self.n_nodes)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.gp_free(self._handle)
+            self._handle = None
+
+    def all_shortest_paths(self, src: int, dst: int, max_paths: int = 10_000
+                           ) -> List[Tuple[List[int], List[int]]]:
+        """Returns [(node_seq, rel_seq), ...]."""
+        nodes_cap, rels_cap = 1 << 16, 1 << 16
+        while True:
+            out_nodes = np.empty(nodes_cap, np.int32)
+            out_rels = np.empty(rels_cap, np.int32)
+            out_lens = np.empty(max_paths, np.int32)
+            n = self._lib.gp_all_shortest_paths(
+                self._handle, int(src), int(dst), max_paths,
+                out_nodes.ctypes.data_as(ctypes.c_void_p), nodes_cap,
+                out_rels.ctypes.data_as(ctypes.c_void_p), rels_cap,
+                out_lens.ctypes.data_as(ctypes.c_void_p), max_paths)
+            if n >= 0:
+                break
+            nodes_cap *= 4
+            rels_cap *= 4
+        paths = []
+        npos = rpos = 0
+        for i in range(n):
+            L = int(out_lens[i])
+            paths.append((out_nodes[npos:npos + L + 1].tolist(),
+                          out_rels[rpos:rpos + L].tolist()))
+            npos += L + 1
+            rpos += L
+        return paths
+
+    def bfs_dist(self, sources: Sequence[int]) -> np.ndarray:
+        src = np.ascontiguousarray(list(sources), np.int32)
+        dist = np.empty(self.n_nodes, np.int32)
+        self._lib.gp_bfs_dist(self._handle,
+                              src.ctypes.data_as(ctypes.c_void_p),
+                              len(src), dist.ctypes.data_as(ctypes.c_void_p))
+        return dist
+
+
+def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
+                       q_entities: Sequence[str], answers: Sequence[str],
+                       max_paths_per_pair: int = 10_000
+                       ) -> Optional[List[List[Tuple[str, str, str]]]]:
+    """Native fast path for rag.graph_utils.get_truth_paths. Returns None when
+    the library is unavailable."""
+    if not available():
+        return None
+    node_id: Dict[str, int] = {}
+    rel_id: Dict[str, int] = {}
+    heads, rels, tails = [], [], []
+
+    def nid(x):
+        if x not in node_id:
+            node_id[x] = len(node_id)
+        return node_id[x]
+
+    def rid(r):
+        r = r.strip()
+        if r not in rel_id:
+            rel_id[r] = len(rel_id)
+        return rel_id[r]
+
+    for h, r, t in triples:
+        heads.append(nid(h)); rels.append(rid(r)); tails.append(nid(t))
+    g = NativeGraph(np.asarray(heads), np.asarray(rels), np.asarray(tails),
+                    len(node_id))
+    id_node = {v: k for k, v in node_id.items()}
+    id_rel = {v: k for k, v in rel_id.items()}
+    out: List[List[Tuple[str, str, str]]] = []
+    for h in q_entities:
+        if h not in node_id:
+            continue
+        for t in answers:
+            if t not in node_id:
+                continue
+            for node_seq, rel_seq in g.all_shortest_paths(
+                    node_id[h], node_id[t], max_paths_per_pair):
+                out.append([(id_node[node_seq[i]], id_rel[rel_seq[i]],
+                             id_node[node_seq[i + 1]])
+                            for i in range(len(rel_seq))])
+    return out

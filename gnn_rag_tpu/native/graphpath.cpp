@@ -1,0 +1,184 @@
+// graphpath — native shortest-path enumeration for the RAG stage.
+//
+// Replaces the reference's per-question networkx hot loop
+// (llm/src/utils/graph_utils.py:49-75: nx.all_shortest_paths between every
+// (question entity, GNN candidate) pair) with a CSR BFS + predecessor-DAG
+// enumerator. Semantics match rag/graph_utils.py (the Python oracle):
+// undirected graph, parallel edges collapse to the LAST triple's relation,
+// src == dst yields one zero-length path, unreachable pairs yield none.
+//
+// C ABI only (ctypes-friendly). Build: `make` in this directory.
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Graph {
+  int32_t n_nodes = 0;
+  // CSR over the deduplicated undirected adjacency
+  std::vector<int64_t> row_ptr;
+  std::vector<int32_t> col;
+  std::vector<int32_t> rel;
+};
+
+struct Workspace {
+  std::vector<int32_t> dist;
+  std::vector<int64_t> parent_ptr;   // offsets into parents
+  std::vector<int32_t> parents;      // flattened predecessor lists
+  std::vector<int32_t> frontier, next_frontier;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
+               int64_t n_edges, int32_t n_nodes) {
+  auto* g = new Graph();
+  g->n_nodes = n_nodes;
+  // last-wins dedup of undirected pairs
+  std::vector<std::unordered_map<int32_t, int32_t>> adj(n_nodes);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int32_t h = heads[i], t = tails[i], r = rels[i];
+    if (h < 0 || h >= n_nodes || t < 0 || t >= n_nodes) continue;
+    adj[h][t] = r;
+    adj[t][h] = r;
+  }
+  g->row_ptr.assign(n_nodes + 1, 0);
+  for (int32_t u = 0; u < n_nodes; ++u)
+    g->row_ptr[u + 1] = g->row_ptr[u] + static_cast<int64_t>(adj[u].size());
+  g->col.resize(g->row_ptr[n_nodes]);
+  g->rel.resize(g->row_ptr[n_nodes]);
+  for (int32_t u = 0; u < n_nodes; ++u) {
+    int64_t k = g->row_ptr[u];
+    for (const auto& [v, r] : adj[u]) {
+      g->col[k] = v;
+      g->rel[k] = r;
+      ++k;
+    }
+  }
+  return g;
+}
+
+void gp_free(void* graph) { delete static_cast<Graph*>(graph); }
+
+// Enumerate all shortest paths src -> dst.
+// Output layout: for each path p, out_lens[p] = L (edge count) and the node
+// sequence (L+1 int32 values) is appended to out_nodes. Relations are
+// recoverable from the graph, but for convenience out_rels receives the L
+// relation ids per path, appended contiguously.
+// Returns the number of paths written (<= max_paths); -1 if the output
+// buffers are too small.
+int64_t gp_all_shortest_paths(void* graph, int32_t src, int32_t dst,
+                              int64_t max_paths, int32_t* out_nodes,
+                              int64_t nodes_cap, int32_t* out_rels,
+                              int64_t rels_cap, int32_t* out_lens,
+                              int64_t lens_cap) {
+  const Graph& g = *static_cast<Graph*>(graph);
+  if (src < 0 || src >= g.n_nodes || dst < 0 || dst >= g.n_nodes) return 0;
+  if (src == dst) {
+    if (lens_cap < 1 || nodes_cap < 1) return -1;
+    out_lens[0] = 0;
+    out_nodes[0] = src;
+    return 1;
+  }
+
+  thread_local Workspace ws;
+  ws.dist.assign(g.n_nodes, -1);
+  ws.parent_ptr.assign(g.n_nodes + 1, 0);
+  std::vector<std::vector<int32_t>> preds(g.n_nodes);
+
+  ws.frontier.clear();
+  ws.frontier.push_back(src);
+  ws.dist[src] = 0;
+  int32_t d = 0;
+  bool found = false;
+  while (!ws.frontier.empty() && !found) {
+    ++d;
+    ws.next_frontier.clear();
+    for (int32_t u : ws.frontier) {
+      for (int64_t k = g.row_ptr[u]; k < g.row_ptr[u + 1]; ++k) {
+        int32_t v = g.col[k];
+        if (ws.dist[v] == -1) {
+          ws.dist[v] = d;
+          preds[v].push_back(u);
+          ws.next_frontier.push_back(v);
+        } else if (ws.dist[v] == d) {
+          preds[v].push_back(u);
+        }
+      }
+    }
+    if (ws.dist[dst] == d) found = true;
+    ws.frontier.swap(ws.next_frontier);
+  }
+  if (!found) return 0;
+
+  // backward DFS over the predecessor DAG
+  int64_t n_paths = 0, node_pos = 0, rel_pos = 0;
+  std::vector<std::pair<int32_t, std::vector<int32_t>>> stack;
+  stack.push_back({dst, {dst}});
+  while (!stack.empty()) {
+    auto [node, path] = std::move(stack.back());
+    stack.pop_back();
+    if (node == src) {
+      int32_t L = static_cast<int32_t>(path.size()) - 1;
+      if (n_paths >= lens_cap || node_pos + L + 1 > nodes_cap ||
+          rel_pos + L > rels_cap)
+        return -1;
+      out_lens[n_paths] = L;
+      // path is dst..src; reverse to src..dst
+      for (int64_t i = path.size() - 1; i >= 0; --i)
+        out_nodes[node_pos++] = path[i];
+      // relations along the reversed path
+      for (int64_t i = path.size() - 1; i >= 1; --i) {
+        int32_t u = path[i], v = path[i - 1];
+        int32_t r = -1;
+        for (int64_t k = g.row_ptr[u]; k < g.row_ptr[u + 1]; ++k)
+          if (g.col[k] == v) { r = g.rel[k]; break; }
+        out_rels[rel_pos++] = r;
+      }
+      ++n_paths;
+      if (n_paths >= max_paths) break;
+      continue;
+    }
+    for (int32_t p : preds[node]) {
+      auto np = path;
+      np.push_back(p);
+      stack.push_back({p, std::move(np)});
+    }
+  }
+  return n_paths;
+}
+
+// Batched convenience: BFS distances from a set of sources (used by the
+// retrieval-recall tooling). dist must hold n_nodes int32.
+void gp_bfs_dist(void* graph, const int32_t* sources, int32_t n_sources,
+                 int32_t* dist) {
+  const Graph& g = *static_cast<Graph*>(graph);
+  std::fill(dist, dist + g.n_nodes, -1);
+  std::queue<int32_t> q;
+  for (int32_t i = 0; i < n_sources; ++i) {
+    int32_t s = sources[i];
+    if (s >= 0 && s < g.n_nodes && dist[s] == -1) {
+      dist[s] = 0;
+      q.push(s);
+    }
+  }
+  while (!q.empty()) {
+    int32_t u = q.front();
+    q.pop();
+    for (int64_t k = g.row_ptr[u]; k < g.row_ptr[u + 1]; ++k) {
+      int32_t v = g.col[k];
+      if (dist[v] == -1) {
+        dist[v] = dist[u] + 1;
+        q.push(v);
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -155,6 +155,32 @@ def get_truth_paths(q_entity: Sequence, a_entity: Sequence,
     return result_paths
 
 
+def get_truth_paths_fast(triples: Sequence[Triple], q_entity: Sequence,
+                         a_entity: Sequence, entities: Optional[Sequence] = None,
+                         encrypt: bool = False,
+                         names_entities: Optional[Dict[str, str]] = None
+                         ) -> List[List[Triple]]:
+    """get_truth_paths without a Python graph build: the C++ enumerator
+    (gnn_rag_tpu.native) when available, else the pure-Python path."""
+    if encrypt and names_entities is not None and entities is not None:
+        renamed = []
+        for h, r, t in triples:
+            if h in names_entities and names_entities[h] in entities:
+                h = names_entities[h]
+            if t in names_entities and names_entities[t] in entities:
+                t = names_entities[t]
+            renamed.append((h, r, t))
+        triples = renamed
+    try:
+        from .. import native
+        out = native.truth_paths_native(triples, q_entity, a_entity)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return get_truth_paths(q_entity, a_entity, build_graph(triples))
+
+
 def get_simple_paths(q_entity: Sequence, a_entity: Sequence,
                      graph: UndirectedGraph, hop: int = 2) -> List[List[Triple]]:
     """All simple paths within `hop` edges (graph_utils.py:77-98)."""
