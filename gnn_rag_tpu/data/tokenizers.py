@@ -47,7 +47,8 @@ class LSTMWordTokenizer:
 class HFTokenizer:
     def __init__(self, lm: str):
         from transformers import AutoTokenizer
-        self.tok = AutoTokenizer.from_pretrained(HF_TOKENIZER_NAMES[lm])
+        self.tok = AutoTokenizer.from_pretrained(HF_TOKENIZER_NAMES[lm],
+                                                 local_files_only=True)
         self.pad_id = self.tok.convert_tokens_to_ids(self.tok.pad_token)
 
     def encode(self, texts: Sequence[str], max_len: int) -> np.ndarray:

@@ -24,7 +24,9 @@ HF_MODEL_NAMES = {
 
 def load_hf_encoder(lm: str) -> Tuple[dict, Dict[str, int]]:
     from transformers import AutoModel
-    model = AutoModel.from_pretrained(HF_MODEL_NAMES[lm])
+    # local assets only — fail fast instead of attempting network access
+    model = AutoModel.from_pretrained(HF_MODEL_NAMES[lm],
+                                      local_files_only=True)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     cfg = model.config
     dims = {"hidden": cfg.hidden_size, "vocab": cfg.vocab_size,
