@@ -1,0 +1,198 @@
+"""LLaMA-family decoder-only LM in flax.
+
+Architecture: pre-RMSNorm blocks, rotary position embeddings with an optional
+"condense" ratio (position interpolation — the TPU-native equivalent of the
+reference's CondenseRotaryEmbedding monkey patch,
+llm/src/llms/language_models/longchat/llama_condense_monkey_patch.py:18-55),
+grouped-query attention, SwiGLU MLP. Weight layout matches utils in
+convert_hf.py for loading local HF LLaMA checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    intermediate: int = 11008
+    rope_theta: float = 10000.0
+    rope_condense: float = 1.0      # >1 extends context by interpolation
+    max_seq_len: int = 4096
+    norm_eps: float = 1e-5
+    dtype: str = "bfloat16"
+    use_flash: bool = True          # Pallas flash attention when shapes allow
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512, **kw) -> "LlamaConfig":
+        return cls(vocab_size=vocab_size, dim=64, n_layers=2, n_heads=4,
+                   n_kv_heads=2, intermediate=128, max_seq_len=512,
+                   dtype="float32", **kw)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+def rope_frequencies(head_dim: int, positions: jnp.ndarray, theta: float,
+                     condense: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions: [B, L] int32 -> (cos, sin) [B, L, head_dim/2]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    t = positions.astype(jnp.float32) / condense   # position interpolation
+    freqs = t[..., None] * inv_freq[None, None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: [B, L, H, D]; cos/sin: [B, L, D/2]."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def _reference_attention(q, k, v, causal_offset):
+    """q [B,L,H,D], k/v [B,S,H,D]; causal mask with kv offset."""
+    B, L, H, D = q.shape
+    S = k.shape[1]
+    scores = jnp.einsum("blhd,bshd->bhls", q, k) / jnp.sqrt(D).astype(q.dtype)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0) + causal_offset
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (L, S), 1)
+    mask = (k_pos <= q_pos)[None, None]
+    scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhls,bshd->blhd", probs, v)
+
+
+class Attention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+        cfg = self.cfg
+        B, L, _ = x.shape
+        H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        q = nn.DenseGeneral((H, D), use_bias=False, name="q_proj")(x)
+        k = nn.DenseGeneral((KV, D), use_bias=False, name="k_proj")(x)
+        v = nn.DenseGeneral((KV, D), use_bias=False, name="v_proj")(x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if kv_cache is not None:
+            # decode step: write new k/v at cache_index, attend to the cache
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
+            k_all, v_all = ck, cv
+            offset = cache_index
+            new_cache = (ck, cv)
+        else:
+            k_all, v_all = k, v
+            offset = 0
+            new_cache = None
+
+        # GQA: repeat kv heads
+        if KV != H:
+            rep = H // KV
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+
+        use_flash = (cfg.use_flash and kv_cache is None
+                     and jax.default_backend() == "tpu"
+                     and L % 128 == 0 and D % 128 == 0)
+        if use_flash:
+            from .flash_attention import flash_attention
+            out = flash_attention(q, k_all, v_all)
+        else:
+            out = _reference_attention(q, k_all, v_all, offset)
+        out = nn.DenseGeneral(cfg.dim, axis=(-2, -1), use_bias=False,
+                              name="o_proj")(out)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate, use_bias=False, name="up_proj")(x)
+        return nn.Dense(cfg.dim, use_bias=False, name="down_proj")(
+            jax.nn.silu(gate) * up)
+
+
+class Block(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+        attn_out, new_cache = Attention(self.cfg, name="attn")(
+            RMSNorm(self.cfg.norm_eps, name="input_norm")(x),
+            cos, sin, kv_cache, cache_index)
+        x = x + attn_out
+        x = x + MLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.norm_eps, name="post_attn_norm")(x))
+        return x, new_cache
+
+
+class LlamaLM(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray,
+                 positions: Optional[jnp.ndarray] = None,
+                 kv_caches=None, cache_index=None):
+        """tokens [B, L] -> logits [B, L, V]. With kv_caches (list of per-layer
+        (k, v) buffers) performs incremental decoding at cache_index."""
+        cfg = self.cfg
+        B, L = tokens.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+            if cache_index is not None:
+                positions = positions + cache_index
+        x = nn.Embed(cfg.vocab_size, cfg.dim, name="tok_emb",
+                     dtype=getattr(jnp, cfg.dtype))(tokens)
+        cos, sin = rope_frequencies(cfg.head_dim, positions, cfg.rope_theta,
+                                    cfg.rope_condense)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+        new_caches = []
+        for i in range(cfg.n_layers):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            x, new_cache = Block(cfg, name=f"layer_{i}")(
+                x, cos, sin, cache_i, cache_index)
+            new_caches.append(new_cache)
+        x = RMSNorm(cfg.norm_eps, name="final_norm")(x)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(
+            x.astype(jnp.float32))
+        return logits, (new_caches if kv_caches is not None else None)
+
+    def init_kv_cache(self, batch_size: int, max_len: int):
+        cfg = self.cfg
+        shape = (batch_size, max_len, cfg.n_kv_heads, cfg.head_dim)
+        dtype = getattr(jnp, cfg.dtype)
+        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in range(cfg.n_layers)]

@@ -1,0 +1,114 @@
+"""SFT pipeline: data prep, completion masking, tiny-model training, resume,
+and rule-path generation round trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gnn_rag_tpu.finetune import data_prep
+from gnn_rag_tpu.llm_tpu.model import LlamaConfig
+from gnn_rag_tpu.llm_tpu.sft import (SFTConfig, SFTTrainer, completion_mask,
+                                     pack_examples, resize_embeddings)
+from gnn_rag_tpu.rag.gen_rule_path import (GenRulePathConfig, gen_prediction,
+                                           parse_prediction)
+
+GRAPH = [["Jamaica", "language_spoken", "English"],
+         ["Jamaica", "located_in", "Caribbean"]]
+SAMPLE = {"id": "q1", "question": "what do they speak in jamaica",
+          "answer": ["English"], "q_entity": ["Jamaica"],
+          "a_entity": ["English"], "graph": GRAPH, "choices": []}
+
+
+def test_extract_relation_paths():
+    recs = data_prep.extract_relation_paths(SAMPLE)
+    assert {"question": SAMPLE["question"], "path": ["language_spoken"]} in recs
+
+
+def test_preprocess_align_and_qa(tmp_path):
+    align = tmp_path / "align.jsonl"
+    n = data_prep.build_align_dataset([SAMPLE], str(tmp_path / "raw.jsonl"))
+    assert n == 1
+    raw = [json.loads(l) for l in open(tmp_path / "raw.jsonl")]
+    data_prep.preprocess_align(raw, str(align))
+    rec = json.loads(open(align).readline())
+    assert "<PATH>language_spoken</PATH>" in rec["text"]
+    assert rec["text"].startswith("[INST]")
+
+    qa = tmp_path / "qa.jsonl"
+    data_prep.preprocess_qa([SAMPLE], str(qa))
+    rec = json.loads(open(qa).readline())
+    assert "Reasoning Paths:" in rec["text"]
+    assert rec["text"].rstrip("</s>").endswith("English")
+
+
+def test_completion_mask():
+    ids = [5, 6, 7, 99, 98, 1, 2, 3]
+    mask = completion_mask(ids, [99, 98])
+    assert mask.tolist() == [0, 0, 0, 0, 0, 1, 1, 1]
+    assert completion_mask([1, 2, 3], [99, 98]).sum() == 0
+
+
+def test_parse_prediction():
+    preds = ["<PATH>a.b.c<SEP>d.e.f</PATH>", "no path here",
+             "<PATH>x</PATH> trailing"]
+    assert parse_prediction(preds) == [["a.b.c", "d.e.f"], ["x"]]
+
+
+def test_sft_overfits_and_resumes(tmp_path):
+    rng = np.random.default_rng(0)
+    V, L, N = 64, 32, 8
+    template = [60, 61]
+    tokens = np.zeros((N, L), np.int32)
+    for i in range(N):
+        prompt = rng.integers(1, 50, 10)
+        answer = [50 + (i % 8)] * 4
+        seq = list(prompt) + template + answer
+        tokens[i, :len(seq)] = seq
+    mask = np.stack([
+        np.asarray(completion_mask(tokens[i].tolist(), template))
+        for i in range(N)])
+
+    cfg = SFTConfig(output_dir=str(tmp_path / "sft"), learning_rate=5e-3,
+                    total_steps=60, batch_size=8, save_every=30, seed=0)
+    trainer = SFTTrainer(LlamaConfig.tiny(vocab_size=V), cfg)
+    losses = trainer.train(tokens, mask, steps=60, log_every=1000)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    # resume from checkpoint-60
+    trainer2 = SFTTrainer(LlamaConfig.tiny(vocab_size=V), cfg)
+    assert trainer2.maybe_resume()
+    assert trainer2.step == 60
+
+
+def test_resize_embeddings():
+    import jax
+    from gnn_rag_tpu.llm_tpu.model import LlamaLM
+    cfg = LlamaConfig.tiny(vocab_size=32)
+    model = LlamaLM(cfg)
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params = resize_embeddings(params, 32, 36)
+    assert params["params"]["tok_emb"]["embedding"].shape[0] == 36
+    assert params["params"]["lm_head"]["kernel"].shape[1] == 36
+
+
+def test_gen_rule_path_with_stub(tmp_path):
+    qa_path = tmp_path / "qa.jsonl"
+    with open(qa_path, "w") as f:
+        f.write(json.dumps(SAMPLE) + "\n")
+
+    def stub_generate(text, num_beams=3, max_new_tokens=100, do_sample=False):
+        return {"paths": ["<PATH>language_spoken</PATH>"] * num_beams,
+                "scores": [0.0] * num_beams,
+                "norm_scores": [1.0 / num_beams] * num_beams}
+
+    cfg = GenRulePathConfig(data_path=str(qa_path),
+                            output_path=str(tmp_path / "out"),
+                            prompt_path="prompts/llama2.txt", n_beam=2)
+    out = gen_prediction(cfg, stub_generate)
+    rec = json.loads(open(out).readline())
+    assert rec["prediction"] == [["language_spoken"], ["language_spoken"]]
+    assert ["language_spoken"] in rec["ground_paths"]

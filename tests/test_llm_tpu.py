@@ -1,0 +1,76 @@
+"""TPU LLM stack: flash-attention parity, model forward, KV-cache decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_rag_tpu.llm_tpu import flash_attention as fa
+from gnn_rag_tpu.llm_tpu.generate import Decoder
+from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+
+
+def test_flash_attention_interpret_matches_reference():
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 256, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    out_flash = fa._flash_fwd_impl(q, k, v, interpret=True)
+    out_ref = fa._reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = LlamaConfig.tiny(vocab_size=128, use_flash=False)
+    model = LlamaLM(cfg)
+    tokens = jnp.asarray(np.arange(16)[None, :] % 128, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    return cfg, model, params
+
+
+def test_model_forward_shapes(tiny_lm):
+    cfg, model, params = tiny_lm
+    tokens = jnp.asarray(np.arange(16)[None, :] % 128, jnp.int32)
+    logits, _ = model.apply(params, tokens)
+    assert logits.shape == (1, 16, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_kv_cache_decode_matches_full_forward(tiny_lm):
+    cfg, model, params = tiny_lm
+    prompt = list(range(1, 9))
+    tokens = jnp.asarray([prompt], jnp.int32)
+    # full forward greedy continuation, recomputing from scratch each step
+    seq = list(prompt)
+    for _ in range(4):
+        logits, _ = model.apply(params, jnp.asarray([seq], jnp.int32))
+        seq.append(int(jnp.argmax(logits[0, -1])))
+    expected = seq[len(prompt):]
+    dec = Decoder(model, params, max_len=32)
+    got = dec.greedy(prompt, max_new_tokens=4)
+    assert got == expected
+
+
+def test_beam_search_returns_scored_beams(tiny_lm):
+    cfg, model, params = tiny_lm
+    dec = Decoder(model, params, max_len=32)
+    seqs, scores, norm = dec.beam_search(list(range(1, 6)), num_beams=3,
+                                         max_new_tokens=5)
+    assert len(seqs) == 3
+    assert all(len(s) > 0 for s in seqs)
+    assert scores.shape == (3,)
+    np.testing.assert_allclose(norm.sum(), 1.0, rtol=1e-6)
+    # beams sorted by score, best beam equals greedy for step-1-dominant LMs
+    assert all(scores[i] >= scores[i + 1] for i in range(2))
+
+
+def test_rope_condense_extends_positions(tiny_lm):
+    from gnn_rag_tpu.llm_tpu.model import rope_frequencies
+    pos = jnp.asarray([[0, 8, 16]], jnp.int32)
+    cos1, _ = rope_frequencies(16, pos, 10000.0, 1.0)
+    cos8, _ = rope_frequencies(16, pos // 8, 10000.0, 1.0)
+    cos_c, _ = rope_frequencies(16, pos, 10000.0, 8.0)
+    np.testing.assert_allclose(np.asarray(cos_c), np.asarray(cos8), rtol=1e-6)
