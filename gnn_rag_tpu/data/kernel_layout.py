@@ -33,6 +33,7 @@ class DirectionLayout(NamedTuple):
     gather: np.ndarray       # int32 [B, Fp]  source local entity (0 on pads)
     rels: np.ndarray         # int32 [B, Fp]  relation id (pad_rel on pads)
     chunk_tiles: np.ndarray  # int32 [B, NC]  entity-tile index per chunk
+    chunk_starts: np.ndarray # int32 [B, n_tiles+1] chunk range per entity tile
     weight: np.ndarray       # float32 [B, Fp] per-fact weight (0 on pads)
 
 
@@ -69,6 +70,7 @@ def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
         o_rl = np.full(Fp, pad_rel, np.int32)
         o_wt = np.zeros(Fp, np.float32)
         o_ct = np.empty(nc, np.int32)
+        o_cs = np.zeros(n_tiles + 1, np.int32)
         src = 0
         chunk = 0
         for t in range(n_tiles):
@@ -82,7 +84,8 @@ def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
             o_ct[chunk:chunk + nch] = t
             src += cnt
             chunk += nch
-        out.append((o_sc, o_ga, o_rl, o_wt, o_ct))
+            o_cs[t + 1] = chunk
+        out.append((o_sc, o_ga, o_rl, o_wt, o_ct, o_cs))
     return out
 
 
@@ -102,6 +105,8 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
     weight = (np.asarray(fact_weight, np.float32) if fact_weight is not None
               else fact_mask.astype(np.float32))
 
+    n_tiles = E // tile_e
+
     def pack(samples):
         nc = max(len(s[4]) for s in samples)
         Fp = nc * tile_f
@@ -112,12 +117,14 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
         # padding chunks repeat the sample's last tile so they never trigger
         # a fresh zero-init of an unrelated tile in the kernel
         ct = np.empty((B, nc), np.int32)
-        for b, (s, g, r, w, c) in enumerate(samples):
+        cs = np.zeros((B, n_tiles + 1), np.int32)
+        for b, (s, g, r, w, c, c_starts) in enumerate(samples):
             sc[b, :len(s)] = s; ga[b, :len(g)] = g
             rl[b, :len(r)] = r; wt[b, :len(w)] = w
             ct[b, :len(c)] = c
             ct[b, len(c):] = c[-1] if len(c) else 0
-        return DirectionLayout(sc, ga, rl, ct, wt)
+            cs[b] = c_starts
+        return DirectionLayout(sc, ga, rl, ct, cs, wt)
 
     fwd = pack(_build_direction(tails, heads, rels, weight, fact_mask, E,
                                 pad_rel, tile_e, tile_f))

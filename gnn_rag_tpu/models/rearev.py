@@ -46,7 +46,7 @@ class ReasonGNN(nn.Module):
     normalized_gnn: bool = False
     pos_emb: bool = False
     dropout: float = 0.0
-    use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, ent_emb: jnp.ndarray,
@@ -65,8 +65,11 @@ class ReasonGNN(nn.Module):
         if layout is not None:
             from ..ops.pallas_mp import gate_scatter
             from ..ops.segment import batched_segment_sum
-            fact_rel_f = rel_features[layout.fwd.rels]       # [B, Fp, D]
-            fact_rel_i = rel_features_inv[layout.inv.rels]
+            # bf16 gate values run the MXU at full rate (f32 accumulate in
+            # the kernel either way); f32 uses exact HIGHEST passes
+            cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+            fact_rel_f = rel_features[layout.fwd.rels].astype(cdt)  # [B, Fp, D]
+            fact_rel_i = rel_features_inv[layout.inv.rels].astype(cdt)
             valid_f = (layout.fwd.scatter >= 0).astype(curr_dist.dtype)
             valid_i = (layout.inv.scatter >= 0).astype(curr_dist.dtype)
             if self.normalized_gnn:
@@ -101,9 +104,13 @@ class ReasonGNN(nn.Module):
                                               axis=1) * norm_f
                 prior_i = jnp.take_along_axis(curr_dist, layout.inv.gather,
                                               axis=1) * norm_i
-                nb_fwd = gate_scatter(fact_rel_f, w_step, b_step, instructions,
+                nb_fwd = gate_scatter(fact_rel_f, w_step.astype(cdt),
+                                      b_step.astype(cdt),
+                                      instructions.astype(cdt),
                                       prior_f, layout.fwd, E)   # [B, J, E, D]
-                nb_inv = gate_scatter(fact_rel_i, w_step, b_step, instructions,
+                nb_inv = gate_scatter(fact_rel_i, w_step.astype(cdt),
+                                      b_step.astype(cdt),
+                                      instructions.astype(cdt),
                                       prior_i, layout.inv, E)
                 # reference order fwd_0, inv_0, fwd_1, inv_1 (reasongnn.py:150-156)
                 neighbors = jnp.stack([nb_fwd, nb_inv], axis=2)  # [B,J,2,E,D]
@@ -230,7 +237,9 @@ class ReaRev(nn.Module):
                               self.num_relation + 1,
                               normalized_gnn=cfg.normalized_gnn,
                               pos_emb=cfg.pos_emb,
-                              dropout=cfg.linear_dropout, name="reasoning")
+                              dropout=cfg.linear_dropout,
+                              compute_dtype=cfg.compute_dtype,
+                              name="reasoning")
         reforms = [QueryReform(D, name=f"reform{j}") for j in range(cfg.num_ins)]
 
         # ---- iterative reasoning (rearev.py:206-221) ----

@@ -200,6 +200,106 @@ def _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles,
     )(chunk_tiles, scatter_idx, prior, fact_rel, w, bias.reshape(1, D), ins)
 
 
+def _fused_kernel_v2(chunk_starts_ref, scatter_ref, prior_ref, fact_rel_hbm,
+                     w_ref, b_ref, ins_ref, out_ref, fr_buf, dma_sems, *,
+                     tile_e: int, tile_f: int, num_ins: int, dim: int,
+                     apply_relu: bool):
+    """One grid cell per (sample, entity tile); loops over the tile's chunk
+    range with double-buffered DMA of the fact_rel chunks from HBM. Cuts the
+    per-chunk grid overhead of _fused_kernel by ~#chunks-per-tile."""
+    b = pl.program_id(0)
+    et = pl.program_id(1)
+    start = chunk_starts_ref[b, et]
+    end = chunk_starts_ref[b, et + 1]
+    dtype = fr_buf.dtype
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(fact_rel_hbm.at[b, c], fr_buf.at[slot],
+                                     dma_sems.at[slot])
+
+    @pl.when(start < end)
+    def _first():
+        dma(0, start).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+
+    def body(c, _):
+        slot = (c - start) % 2
+        nxt = (c - start + 1) % 2
+
+        @pl.when(c + 1 < end)
+        def _prefetch():
+            dma(nxt, c + 1).start()
+
+        dma(slot, c).wait()
+        rl = jax.lax.dot_general(
+            fr_buf[slot], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) + b_ref[...]
+        rl = rl.astype(dtype)
+        idx = scatter_ref[0, pl.ds(c, 1), :]
+        pri = prior_ref[0, pl.ds(c, 1), :]
+        onehot_pri = jnp.where((idx - et * tile_e) == rows, pri,
+                               0.0).astype(dtype)
+        for j in range(num_ins):
+            ins_j = ins_ref[0, pl.ds(j, 1), :]
+            val = rl * ins_j
+            if apply_relu:
+                val = jnp.maximum(val, 0.0)
+            contrib = jax.lax.dot_general(
+                onehot_pri, val, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            out_ref[0, j] += contrib.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+def _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
+                       chunk_starts, num_entities, apply_relu,
+                       interpret=False):
+    B, Fp, D = fact_rel.shape
+    J = ins.shape[1]
+    NC = Fp // TILE_F
+    n_tiles = num_entities // TILE_E
+    scatter_idx = scatter_idx.reshape(B, NC, TILE_F)
+    prior = prior.reshape(B, NC, TILE_F)
+    fact_rel = fact_rel.reshape(B, NC, TILE_F, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, NC, TILE_F), lambda b, t, cs: (b, 0, 0)),
+            pl.BlockSpec((1, NC, TILE_F), lambda b, t, cs: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),      # fact_rel stays in HBM
+            pl.BlockSpec((D, D), lambda b, t, cs: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, t, cs: (0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, t, cs: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, J, TILE_E, D), lambda b, t, cs: (b, 0, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_F, D), fact_rel.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fused_kernel_v2, tile_e=TILE_E, tile_f=TILE_F,
+                               num_ins=J, dim=D, apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, J, num_entities, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Fp * D * (D + J * TILE_E),
+            bytes_accessed=fact_rel.size * fact_rel.dtype.itemsize
+            + B * num_entities * J * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunk_starts, scatter_idx, prior, fact_rel, w, bias.reshape(1, D), ins)
+
+
 def fused_gate_scatter_reference(fact_rel, w, bias, ins, prior, scatter_idx,
                                  chunk_tiles, num_entities, apply_relu=True):
     """XLA fallback with identical semantics. Returns [B, J, E, D]."""
@@ -276,13 +376,37 @@ def scatter_to_entities(values, scatter_idx, chunk_tiles, num_entities,
     return scatter_mm_reference(values, scatter_idx, chunk_tiles, num_entities)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_gate_scatter_v2(fact_rel, w, bias, ins, prior, scatter_idx,
+                          chunk_starts, num_entities, apply_relu=True):
+    """Tile-per-cell variant with double-buffered chunk DMA."""
+    return _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
+                              chunk_starts, num_entities, apply_relu)
+
+
+def _fused_v2_fwd(fact_rel, w, bias, ins, prior, scatter_idx, chunk_starts,
+                  num_entities, apply_relu):
+    out = _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
+                             chunk_starts, num_entities, apply_relu)
+    return out, (fact_rel, w, bias, ins, prior, scatter_idx)
+
+
+fused_gate_scatter_v2.defvjp(_fused_v2_fwd, _fused_bwd)
+
+
 def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
                  apply_relu=True):
     """Dispatch the fused op: Mosaic kernel on TPU, XLA reference elsewhere.
 
     direction: a data.kernel_layout.DirectionLayout (device arrays).
     """
-    fn = (fused_gate_scatter if jax.default_backend() == "tpu"
-          else fused_gate_scatter_reference)
-    return fn(fact_rel, w, bias, ins, prior, direction.scatter,
-              direction.chunk_tiles, num_entities, apply_relu)
+    # NOTE: the v2 tile-per-cell kernel is blocked on a Mosaic limitation —
+    # manual DMA slices require the last dim to be 128-aligned (D=50 is not).
+    # v1 (chunk-per-cell, pipeline-fetched blocks) is the production path.
+    if jax.default_backend() == "tpu":
+        return fused_gate_scatter(
+            fact_rel, w, bias, ins, prior, direction.scatter,
+            direction.chunk_tiles, num_entities, apply_relu)
+    return fused_gate_scatter_reference(
+        fact_rel, w, bias, ins, prior, direction.scatter,
+        direction.chunk_tiles, num_entities, apply_relu)
