@@ -193,13 +193,28 @@ def run(argv=None) -> None:
                 ds.q_hidden = [hid[i, :len(r.q_token_ids)]
                                for i, r in enumerate(ds.records)]
 
+    # pretrained (frozen) embedding tables, padded with one extra row
+    # (base_model.py:79-114)
+    def load_padded(fname):
+        if not fname:
+            return None
+        path = os.path.join(cfg.data.data_folder, fname)
+        if not os.path.exists(path):
+            return None
+        emb = np.load(path)
+        return np.pad(emb, ((0, 1), (0, 0))).astype(np.float32)
+
+    entity_emb = load_padded(cfg.data.entity_emb_file)
+    word_emb = load_padded(cfg.data.word_emb_file) if cfg.model.lm == "lstm" else None
+
     trainer = Trainer(
         cfg, train_data=bundle["train"], valid_data=bundle["valid"],
         test_data=bundle["test"], num_entity=vocab.num_entity,
         num_kb_relation=bundle["num_kb_relation"],
         num_word=len(vocab.word2id),
         rel_hidden=rel_hidden, rel_hidden_inv=rel_hidden_inv,
-        rel_text_mask=rel_mask, id2entity=vocab.id2entity, logger=logger)
+        rel_text_mask=rel_mask, entity_emb=entity_emb, word_emb=word_emb,
+        id2entity=vocab.id2entity, logger=logger)
 
     if cfg.train.load_experiment:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,

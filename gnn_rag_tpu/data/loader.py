@@ -229,6 +229,8 @@ class KGQADataset:
         recs = [self.records[i] for i in indices]
         B = batch_pad_to or len(recs)
         E = bucketize(max(r.n_entities for r in recs), self.entity_buckets)
+        if build_layout:  # kernel tiles need a 128-multiple entity count
+            E = -(-E // 128) * 128
         F = bucketize(max(r.n_facts for r in recs), self.fact_buckets)
         L = max(len(r.q_token_ids) for r in recs)
 

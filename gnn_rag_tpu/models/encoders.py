@@ -159,9 +159,15 @@ class LSTMQuestionEncoder(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, *, deterministic: bool = True
+    def __call__(self, tokens: jnp.ndarray, *, deterministic: bool = True,
+                 pretrained: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        emb = nn.Embed(self.num_word + 1, self.word_dim, name="word_embedding")(tokens)
+        if pretrained is not None:
+            # frozen word embeddings, e.g. GloVe (base_model.py:79-89)
+            emb = pretrained[jnp.minimum(tokens, pretrained.shape[0] - 1)]
+        else:
+            emb = nn.Embed(self.num_word + 1, self.word_dim,
+                           name="word_embedding")(tokens)
         emb = nn.Dropout(self.dropout, deterministic=deterministic)(emb)
         lstm = nn.RNN(nn.OptimizedLSTMCell(self.entity_dim), name="lstm")
         hidden = lstm(emb)                                              # [B, L, D]

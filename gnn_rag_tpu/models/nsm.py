@@ -114,6 +114,8 @@ class NSM(nn.Module):
                  rel_hidden: Optional[jnp.ndarray] = None,
                  rel_hidden_inv: Optional[jnp.ndarray] = None,
                  rel_text_mask: Optional[jnp.ndarray] = None,
+                 entity_emb: Optional[jnp.ndarray] = None,
+                 word_emb: Optional[jnp.ndarray] = None,
                  *, training: bool = False):
         cfg = self.cfg
         D = cfg.entity_dim
@@ -133,7 +135,8 @@ class NSM(nn.Module):
         if cfg.lm == "lstm":
             query_hidden, query_node = LSTMQuestionEncoder(
                 D, self.num_word, cfg.word_dim, cfg.lm_dropout,
-                name="instruction_encoder")(batch.q_tokens, deterministic=det)
+                name="instruction_encoder")(batch.q_tokens, deterministic=det,
+                                            pretrained=word_emb)
             question_emb = nn.Dense(D, name="question_emb")
         else:
             raw_hidden = (batch.q_hidden if batch.q_hidden is not None else
@@ -157,9 +160,13 @@ class NSM(nn.Module):
             D, cfg.num_step, cfg.linear_dropout, name="instruction_decoder")(
             query_hidden, query_node, batch.q_mask, deterministic=det)
 
-        ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
-            rel_features, batch.heads, batch.rels, batch.tails, fact_mask, E,
-            batch.fact_rel_weight, layout=batch.layout)
+        if entity_emb is not None:
+            gids = jnp.minimum(batch.entity_gids, entity_emb.shape[0] - 1)
+            ent_emb = nn.Dense(D, name="entity_linear")(entity_emb[gids])
+        else:
+            ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
+                rel_features, batch.heads, batch.rels, batch.tails, fact_mask,
+                E, batch.fact_rel_weight, layout=batch.layout)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = NSMReasoning(D, cfg.num_step, cfg.reason_kb,

@@ -163,6 +163,8 @@ class ReaRev(nn.Module):
                  rel_hidden: Optional[jnp.ndarray] = None,
                  rel_hidden_inv: Optional[jnp.ndarray] = None,
                  rel_text_mask: Optional[jnp.ndarray] = None,
+                 entity_emb: Optional[jnp.ndarray] = None,
+                 word_emb: Optional[jnp.ndarray] = None,
                  *, training: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (loss, pred_top1, pred_dist).
@@ -170,8 +172,13 @@ class ReaRev(nn.Module):
         rel_hidden[_inv]: [R+1, Lr, word_dim] frozen-LM token states over
         relation surface forms (equivalent of base_model.encode_rel_texts,
         base_model.py:168-176); rel_text_mask: [R+1, Lr]. When None, a
-        trainable relation embedding table is used instead
-        (rearev.py:95-99)."""
+        trainable relation embedding table is used instead (rearev.py:95-99).
+        entity_emb: optional frozen pretrained KG entity table
+        [num_entity+1, ent_dim] — switches entity init from TypeLayer to
+        embedding lookup + projection (encode_type=False,
+        base_model.py:96-114, rearev.py:79-88).
+        word_emb: optional frozen word table for the LSTM encoder
+        (base_model.py:79-89)."""
         cfg = self.cfg
         D = cfg.entity_dim
         det = not training
@@ -194,7 +201,8 @@ class ReaRev(nn.Module):
         if cfg.lm == "lstm":
             query_hidden, query_node = LSTMQuestionEncoder(
                 D, self.num_word, cfg.word_dim, cfg.lm_dropout,
-                name="instruction_encoder")(batch.q_tokens, deterministic=det)
+                name="instruction_encoder")(batch.q_tokens, deterministic=det,
+                                            pretrained=word_emb)
             question_emb = nn.Dense(D, name="question_emb")  # rel-feature proj
         else:
             if batch.q_hidden is not None:
@@ -227,10 +235,15 @@ class ReaRev(nn.Module):
             D, cfg.num_ins, cfg.linear_dropout, name="instruction_decoder")(
             query_hidden, query_node, batch.q_mask, deterministic=det)
 
-        # ---- entity init (TypeLayer; rearev.py:79-88) ----
-        ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
-            rel_features, batch.heads, batch.rels, batch.tails, fact_mask, E,
-            batch.fact_rel_weight, layout=batch.layout)
+        # ---- entity init (rearev.py:79-88) ----
+        if entity_emb is not None:
+            # encode_type=False: pretrained KG embeddings, pad row = last
+            gids = jnp.minimum(batch.entity_gids, entity_emb.shape[0] - 1)
+            ent_emb = nn.Dense(D, name="entity_linear")(entity_emb[gids])
+        else:
+            ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
+                rel_features, batch.heads, batch.rels, batch.tails, fact_mask,
+                E, batch.fact_rel_weight, layout=batch.layout)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = ReasonGNN(D, cfg.num_ins, cfg.num_gnn,

@@ -149,17 +149,23 @@ def _fused_kernel(chunk_tiles_ref, scatter_ref, prior_ref, fact_rel_ref,
     onehot_pri = jnp.where((idx - et * tile_e) == rows,
                            pri, 0.0).astype(dtype)           # [TILE_E, TILE_F]
 
+    # all J gates in ONE [TILE_E, TILE_F] @ [TILE_F, J*D] matmul: J*D lanes
+    # utilise the MXU better than J separate D-lane products
+    vals = []
     for j in range(num_ins):
         ins_j = ins_ref[0, pl.ds(j, 1), :]                   # [1, D]
         val = rl * ins_j
         if apply_relu:
             val = jnp.maximum(val, 0.0)
-        contrib = jax.lax.dot_general(
-            onehot_pri, val,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)                             # [TILE_E, D]
-        out_ref[0, j] += contrib.astype(out_ref.dtype)
+        vals.append(val)
+    val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
+    contrib = jax.lax.dot_general(
+        onehot_pri, val_all,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                 # [TILE_E, J*D]
+    for j in range(num_ins):
+        out_ref[0, j] += contrib[:, j * dim:(j + 1) * dim].astype(out_ref.dtype)
 
 
 def _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles,

@@ -51,6 +51,7 @@ class Trainer:
                  valid_data: KGQADataset, test_data: KGQADataset,
                  num_entity: int, num_kb_relation: int, num_word: int = 0,
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
+                 entity_emb=None, word_emb=None,
                  id2entity: Optional[dict] = None, logger=None):
         self.cfg = cfg
         self.train_data = train_data
@@ -59,7 +60,8 @@ class Trainer:
         self.num_entity = num_entity
         self.rel_args = tuple(
             jnp.asarray(x) if x is not None else None
-            for x in (rel_hidden, rel_hidden_inv, rel_text_mask))
+            for x in (rel_hidden, rel_hidden_inv, rel_text_mask,
+                      entity_emb, word_emb))
         self.logger = logger or create_logger("trainer", cfg.train.checkpoint_dir,
                                               config=cfg.model)
         self.model = build_model(cfg, num_entity, num_kb_relation, num_word)
@@ -94,6 +96,9 @@ class Trainer:
                                    num_iter=num_iter)
         self.best_h1 = 0.0
         self.best_f1 = 0.0
+        # kernel-layout batches feed the fused Pallas path on TPU; training
+        # with fact_drop>0 falls back to the canonical path inside the model
+        self.build_layout = jax.default_backend() == "tpu"
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -126,9 +131,11 @@ class Trainer:
         data.reset_batches(is_sequential=False, rng=rng_np)
         num_batches = math.ceil(data.num_data / cfg.batch_size)
         losses, h1_all, f1_all = [], [], []
+        build_layout = self.build_layout and self.cfg.model.fact_drop == 0.0
         for it in range(num_batches):
             idx = data.batch_indices(it, cfg.batch_size)
-            batch = data.make_batch(idx, batch_pad_to=cfg.batch_size)
+            batch = data.make_batch(idx, batch_pad_to=cfg.batch_size,
+                                    build_layout=build_layout)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss, h1, pred_dist = self._train_step(
                 self.params, self.opt_state, step_rng, batch)
@@ -148,7 +155,8 @@ class Trainer:
         bs = test_batch_size or self.cfg.train.test_batch_size
         return self.evaluator.evaluate(
             data, lambda b: self._eval_step(self.params, b), bs,
-            write_info=write_info, info_path=info_path)
+            write_info=write_info, info_path=info_path,
+            build_layout=self.build_layout)
 
     def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
         cfg = self.cfg.train
