@@ -207,6 +207,22 @@ def run(argv=None) -> None:
     entity_emb = load_padded(cfg.data.entity_emb_file)
     word_emb = load_padded(cfg.data.word_emb_file) if cfg.model.lm == "lstm" else None
 
+    # tokenizer-decoded question strings in .info (evaluate.py:143-156 quirk:
+    # the reference writes the DECODED token sequence, not the raw question)
+    decode_question = None
+    tok = bundle["tokenizer"]
+    if hasattr(tok, "tok"):  # HFTokenizer
+        def decode_question(ids):
+            words = tok.tok.convert_ids_to_tokens([int(i) for i in ids])
+            return "".join(w + " " for w in words
+                           if w not in ("[CLS]", "[SEP]", "[PAD]"))
+    elif hasattr(tok, "word2id"):  # LSTMWordTokenizer
+        id2word = {i: w for w, i in tok.word2id.items()}
+
+        def decode_question(ids):
+            return "".join(id2word[int(i)] + " " for i in ids
+                           if int(i) in id2word)
+
     trainer = Trainer(
         cfg, train_data=bundle["train"], valid_data=bundle["valid"],
         test_data=bundle["test"], num_entity=vocab.num_entity,
@@ -214,7 +230,8 @@ def run(argv=None) -> None:
         num_word=len(vocab.word2id),
         rel_hidden=rel_hidden, rel_hidden_inv=rel_hidden_inv,
         rel_text_mask=rel_mask, entity_emb=entity_emb, word_emb=word_emb,
-        id2entity=vocab.id2entity, logger=logger)
+        id2entity=vocab.id2entity, logger=logger,
+        decode_question=decode_question)
 
     if cfg.train.load_experiment:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,

@@ -1,0 +1,156 @@
+"""RetrieverService: production serving of the GNN retrieval stage.
+
+New capability (the reference couples retrieval to offline file dumps): load
+a trained checkpoint once, then serve questions end to end on TPU —
+
+    question + subgraph  ->  GraphBatch (kernel layout)  ->  ReaRev forward
+    ->  eps-cumulative candidates  ->  batched-BFS shortest paths
+    ->  verbalized reasoning paths (ready for any LLM reader)
+
+Batches of questions are padded to shape buckets so the jitted forward is
+reused across requests. The same class powers an OpenAI-protocol-style HTTP
+endpoint via `serve_http`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .config import Config
+from .data.loader import KGQADataset, ingest_question, num_kb_relation
+from .data.vocab import Vocab
+from .rag.path_extract import BatchedPathExtractor
+from .rag.text_utils import path_to_string
+from .train.metrics import extract_candidates, f1_and_hits_eval
+from .train.trainer import build_model
+
+
+class RetrieverService:
+    def __init__(self, cfg: Config, vocab: Vocab, params, *,
+                 rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
+                 question_encoder: Optional[Callable] = None,
+                 tokenizer=None, max_hops: int = 4,
+                 entity_buckets=(256, 512, 1024, 2048),
+                 fact_buckets=(1024, 2048, 4096, 8192, 16384)):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.nkr = num_kb_relation(vocab.num_relation,
+                                   cfg.data.use_inverse_relation,
+                                   cfg.data.use_self_loop)
+        self.model = build_model(cfg, vocab.num_entity, self.nkr)
+        self.params = params
+        self.rel_args = (rel_hidden, rel_hidden_inv, rel_text_mask)
+        self.question_encoder = question_encoder  # tokens -> hidden states
+        self.tokenizer = tokenizer
+        self.extractor = BatchedPathExtractor(max_hops=max_hops)
+        self.entity_buckets = entity_buckets
+        self.fact_buckets = fact_buckets
+        self._fwd = jax.jit(
+            lambda p, b: self.model.apply(p, b, *self.rel_args))
+
+    # ------------------------------------------------------------------
+    def retrieve(self, questions: Sequence[dict], *,
+                 with_paths: bool = True) -> List[dict]:
+        """questions: reference JSONL schema (question, entities,
+        subgraph{entities, tuples}); returns per-question candidates
+        [[gid, prob]...] and verbalized reasoning paths."""
+        records = []
+        for q in questions:
+            rec = ingest_question(
+                q, self.vocab, data_name=self.cfg.data.name,
+                use_inverse_relation=self.cfg.data.use_inverse_relation,
+                use_self_loop=self.cfg.data.use_self_loop,
+                num_kb_relation=self.nkr)
+            records.append(rec)
+
+        ds = KGQADataset([r for r in records if r is not None],
+                         num_entity=self.vocab.num_entity,
+                         num_kb_relation=self.nkr,
+                         entity_buckets=self.entity_buckets,
+                         fact_buckets=self.fact_buckets)
+        if self.tokenizer is not None:
+            ds.tokenize_questions(self.tokenizer)
+        else:
+            for r in ds.records:
+                r.q_token_ids = np.zeros(4, np.int32)
+        if self.question_encoder is not None:
+            ds.q_hidden = [self.question_encoder(r.q_token_ids)
+                           for r in ds.records]
+
+        idx = list(range(len(ds)))
+        batch = ds.make_batch(
+            idx, build_layout=jax.default_backend() == "tpu")
+        _, _, pred_dist = self._fwd(self.params, batch)
+        pred_dist = np.asarray(pred_dist)
+
+        ignore_prob = (1 - self.cfg.model.eps) / ds.max_local_entity
+        results = []
+        ri = 0
+        for q, rec in zip(questions, records):
+            if rec is None:
+                results.append({"cand": [], "paths": []})
+                continue
+            cand2prob = extract_candidates(
+                pred_dist[ri], np.asarray(batch.entity_gids[ri]),
+                np.asarray(batch.query_entities[ri]),
+                self.vocab.num_entity, ignore_prob)
+            _, _, _, _, _, _, retrieved = f1_and_hits_eval(
+                [], cand2prob, self.cfg.model.eps)
+            cand = [[self.vocab.id2entity.get(c, c), float(p)]
+                    for c, p in retrieved]
+            results.append({"cand": cand, "paths": []})
+            ri += 1
+
+        if with_paths:
+            path_qs = []
+            for q, res in zip(questions, results):
+                path_qs.append({
+                    "graph": q["subgraph"]["tuples"],
+                    "q_entity": q.get("entities", []),
+                    "cand": [c for c, _ in res["cand"]],
+                })
+            all_paths = self.extractor.extract(path_qs)
+            for res, paths in zip(results, all_paths):
+                seen = []
+                for p in paths:
+                    s = path_to_string(p)
+                    if s not in seen:
+                        seen.append(s)
+                res["paths"] = seen
+        return results
+
+    # ------------------------------------------------------------------
+    def serve_http(self, host: str = "localhost", port: int = 0):
+        """POST /retrieve with {"questions": [...]} -> results JSON."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/retrieve":
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                out = service.retrieve(body.get("questions", []),
+                                       with_paths=body.get("with_paths", True))
+                payload = json.dumps({"results": out}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        return httpd

@@ -52,7 +52,8 @@ class Trainer:
                  num_entity: int, num_kb_relation: int, num_word: int = 0,
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
                  entity_emb=None, word_emb=None,
-                 id2entity: Optional[dict] = None, logger=None):
+                 id2entity: Optional[dict] = None, logger=None,
+                 decode_question=None):
         self.cfg = cfg
         self.train_data = train_data
         self.valid_data = valid_data
@@ -94,6 +95,7 @@ class Trainer:
         self.evaluator = Evaluator(eps=cfg.model.eps, num_entity=num_entity,
                                    id2entity=id2entity or {},
                                    num_iter=num_iter)
+        self.decode_question = decode_question
         self.best_h1 = 0.0
         self.best_f1 = 0.0
         # kernel-layout batches feed the fused Pallas path on TPU; training
@@ -156,7 +158,8 @@ class Trainer:
         return self.evaluator.evaluate(
             data, lambda b: self._eval_step(self.params, b), bs,
             write_info=write_info, info_path=info_path,
-            build_layout=self.build_layout)
+            build_layout=self.build_layout,
+            decode_question=self.decode_question)
 
     def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
         cfg = self.cfg.train
