@@ -306,6 +306,138 @@ def _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
     )(chunk_starts, scatter_idx, prior, fact_rel, w, bias.reshape(1, D), ins)
 
 
+def _fused_bwd_kernel(chunk_tiles_ref, scatter_ref, prior_ref,
+                      fact_rel_ref, w_ref, b_ref, ins_ref, g_ref,
+                      dfr_ref, dprior_ref, dins_ref, dw_ref, db_ref, *,
+                      tile_e: int, tile_f: int, num_ins: int, dim: int,
+                      apply_relu: bool):
+    """Backward of the fused gate-scatter, per chunk in VMEM.
+
+    The gather of the output grad at each fact's target — the memory hog of
+    the XLA backward — is itself a one-hot matmul on the MXU (with the prior
+    optionally folded into the one-hot, like the forward). dW/db accumulate
+    across the whole sequential grid in VMEM, dins per sample,
+    dfact_rel/dprior are written per chunk. Lane-dim dynamic slicing is
+    unsupported on TPU, so every reduction/transpose is expressed through
+    dot_general dimension numbers."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    et = chunk_tiles_ref[b, c]
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _zero_global():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when(c == 0)
+    def _zero_per_sample():
+        dins_ref[...] = jnp.zeros_like(dins_ref)
+
+    precision = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    fr = fact_rel_ref[0, 0].astype(f32)                      # [TF, D]
+    rl = jax.lax.dot_general(fr, w_ref[...].astype(f32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=precision) + b_ref[...].astype(f32)
+
+    idx = scatter_ref[0, pl.ds(c, 1), :]                     # [1, TF]
+    pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)           # [1, TF]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    match = (idx - et * tile_e) == rows                      # [TE, TF]
+    onehot_t = match.astype(f32)
+    onehot_pri_t = jnp.where(match, pri, 0.0).astype(f32)
+    ones_row = jnp.ones((1, dim), f32)
+
+    drl = jnp.zeros((tile_f, dim), f32)
+    dpri_row = jnp.zeros((1, tile_f), f32)
+    for j in range(num_ins):
+        g_j = g_ref[0, j].astype(f32)                        # [TE, D]
+        # gb_j[f, d] = sum_e onehot_t[e, f] * g_j[e, d]
+        gb_j = jax.lax.dot_general(onehot_t, g_j, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=precision)      # [TF, D]
+        gbp_j = jax.lax.dot_general(onehot_pri_t, g_j,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=f32,
+                                    precision=precision)     # prior-scaled
+        ins_j = ins_ref[0, pl.ds(j, 1), :].astype(f32)       # [1, D]
+        pre_j = rl * ins_j
+        act_j = jnp.maximum(pre_j, 0.0) if apply_relu else pre_j
+        # dprior_row[1, f] = sum_d gb_j[f, d] * act_j[f, d]
+        dpri_row += jax.lax.dot_general(ones_row, gb_j * act_j,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32,
+                                        precision=precision)
+        dval_j = gbp_j
+        if apply_relu:
+            dval_j = jnp.where(pre_j > 0, dval_j, 0.0)
+        drl += dval_j * ins_j
+        dins_ref[0, pl.ds(j, 1), :] += jnp.sum(dval_j * rl, axis=0,
+                                               keepdims=True
+                                               ).astype(dins_ref.dtype)
+
+    dfr = jax.lax.dot_general(drl, w_ref[...].astype(f32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32,
+                              precision=precision)           # [TF, D]
+    dfr_ref[0, 0] = dfr.astype(dfr_ref.dtype)
+    dprior_ref[0, pl.ds(c, 1), :] = dpri_row.astype(dprior_ref.dtype)
+    dw_ref[...] += jax.lax.dot_general(
+        fr, drl, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=precision).astype(dw_ref.dtype)
+    db_ref[...] += jnp.sum(drl, axis=0, keepdims=True).astype(db_ref.dtype)
+
+
+def _fused_bwd_pallas_impl(fact_rel, w, bias, ins, prior, scatter_idx,
+                           chunk_tiles, g, apply_relu, interpret=False):
+    B, Fp, D = fact_rel.shape
+    J = ins.shape[1]
+    NC = chunk_tiles.shape[1]
+    scatter3 = scatter_idx.reshape(B, NC, TILE_F)
+    prior3 = prior.reshape(B, NC, TILE_F)
+    fact_rel4 = fact_rel.reshape(B, NC, TILE_F, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_F, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((D, D), lambda b, c, ct: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, c, ct: (0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, TILE_E, D), lambda b, c, ct: (b, 0, ct[b, c], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TILE_F, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, TILE_F), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((D, D), lambda b, c, ct: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, c, ct: (0, 0)),
+        ],
+    )
+    kernel = functools.partial(_fused_bwd_kernel, tile_e=TILE_E, tile_f=TILE_F,
+                               num_ins=J, dim=D, apply_relu=apply_relu)
+    dfr4, dprior3, dins, dw, db = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC, TILE_F, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, TILE_F), jnp.float32),
+            jax.ShapeDtypeStruct((B, J, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_tiles, scatter3, prior3, fact_rel4, w, bias.reshape(1, D), ins, g)
+    dfr = dfr4.reshape(B, Fp, D).astype(fact_rel.dtype)
+    dprior = dprior3.reshape(B, Fp).astype(prior.dtype)
+    return (dfr, dw.astype(w.dtype), db[0].astype(bias.dtype),
+            dins.astype(ins.dtype), dprior)
+
+
 def fused_gate_scatter_reference(fact_rel, w, bias, ins, prior, scatter_idx,
                                  chunk_tiles, num_entities, apply_relu=True):
     """XLA fallback with identical semantics. Returns [B, J, E, D]."""
@@ -332,11 +464,16 @@ def _fused_fwd(fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles,
                num_entities, apply_relu):
     out = _fused_fwd_impl(fact_rel, w, bias, ins, prior, scatter_idx,
                           chunk_tiles, num_entities, apply_relu)
-    return out, (fact_rel, w, bias, ins, prior, scatter_idx)
+    return out, (fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles)
 
 
 def _fused_bwd(num_entities, apply_relu, res, g):
-    fact_rel, w, bias, ins, prior, scatter_idx = res
+    fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles = res
+    if jax.default_backend() == "tpu" and chunk_tiles is not None:
+        grads = _fused_bwd_pallas_impl(fact_rel, w, bias, ins, prior,
+                                       scatter_idx, chunk_tiles, g,
+                                       apply_relu)
+        return (*grads, None, None)
     B, Fp, D = fact_rel.shape
     J = ins.shape[1]
     # recompute activations (cheaper than stashing [B,Fp,J,D])
@@ -394,7 +531,8 @@ def _fused_v2_fwd(fact_rel, w, bias, ins, prior, scatter_idx, chunk_starts,
                   num_entities, apply_relu):
     out = _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
                              chunk_starts, num_entities, apply_relu)
-    return out, (fact_rel, w, bias, ins, prior, scatter_idx)
+    # chunk_tiles=None -> XLA backward (chunk_starts are not tile indices)
+    return out, (fact_rel, w, bias, ins, prior, scatter_idx, None)
 
 
 fused_gate_scatter_v2.defvjp(_fused_v2_fwd, _fused_bwd)
