@@ -88,9 +88,15 @@ def pad_to(x: np.ndarray, size: int, axis: int, fill=0) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
+DEFAULT_ENTITY_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+DEFAULT_FACT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536,
+                        131072)
+
+
 def bucketize(n: int, buckets) -> int:
     """Smallest bucket >= n; if none fits (or no buckets), round up to a
-    multiple of 128 (TPU lane width)."""
+    multiple of 128 (TPU lane width). Coarse bucket ladders bound the number
+    of XLA compilations (one per distinct batch shape)."""
     for b in buckets:
         if n <= b:
             return int(b)

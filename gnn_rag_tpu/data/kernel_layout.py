@@ -43,49 +43,55 @@ class KernelLayout(NamedTuple):
     num_entities: int        # E (multiple of TILE_E)
 
 
+def build_sample_direction(sc: np.ndarray, ga: np.ndarray, rl: np.ndarray,
+                           wt: np.ndarray, E: int, pad_rel: int,
+                           tile_e: int = TILE_E, tile_f: int = TILE_F):
+    """Tile-sort ONE sample's (scatter, gather, rel, weight) fact arrays.
+    Returns (scatter, gather, rels, weight, chunk_tiles, chunk_starts)."""
+    n_tiles = E // tile_e
+    tile = sc // tile_e
+    order = np.argsort(tile, kind="stable")
+    sc, ga, rl, wt, tile = sc[order], ga[order], rl[order], wt[order], tile[order]
+    counts = np.bincount(tile, minlength=n_tiles)
+    chunks_per_tile = np.maximum(1, -(-counts // tile_f))
+    nc = int(chunks_per_tile.sum())
+    Fp = nc * tile_f
+    o_sc = np.full(Fp, -1, np.int32)
+    o_ga = np.zeros(Fp, np.int32)
+    o_rl = np.full(Fp, pad_rel, np.int32)
+    o_wt = np.zeros(Fp, np.float32)
+    o_ct = np.empty(nc, np.int32)
+    o_cs = np.zeros(n_tiles + 1, np.int32)
+    src = 0
+    chunk = 0
+    for t in range(n_tiles):
+        cnt = int(counts[t])
+        nch = int(chunks_per_tile[t])
+        dst = chunk * tile_f
+        o_sc[dst:dst + cnt] = sc[src:src + cnt]
+        o_ga[dst:dst + cnt] = ga[src:src + cnt]
+        o_rl[dst:dst + cnt] = rl[src:src + cnt]
+        o_wt[dst:dst + cnt] = wt[src:src + cnt]
+        o_ct[chunk:chunk + nch] = t
+        src += cnt
+        chunk += nch
+        o_cs[t + 1] = chunk
+    return (o_sc, o_ga, o_rl, o_wt, o_ct, o_cs)
+
+
 def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
                      rels_g: np.ndarray, weight_g: np.ndarray,
                      fact_mask: np.ndarray, E: int, pad_rel: int,
                      tile_e: int, tile_f: int):
-    """Per-batch host build for one direction. Returns lists of per-sample
-    (scatter, gather, rels, weight, chunk_tiles)."""
+    """Per-batch host build for one direction (per-sample build over the
+    valid facts)."""
     B, F = scatter_g.shape
-    n_tiles = E // tile_e
     out = []
     for b in range(B):
         valid = fact_mask[b] > 0
-        sc = scatter_g[b][valid]
-        ga = gather_g[b][valid]
-        rl = rels_g[b][valid]
-        wt = weight_g[b][valid]
-        tile = sc // tile_e
-        order = np.argsort(tile, kind="stable")
-        sc, ga, rl, wt, tile = sc[order], ga[order], rl[order], wt[order], tile[order]
-        counts = np.bincount(tile, minlength=n_tiles)
-        chunks_per_tile = np.maximum(1, -(-counts // tile_f))
-        nc = int(chunks_per_tile.sum())
-        Fp = nc * tile_f
-        o_sc = np.full(Fp, -1, np.int32)
-        o_ga = np.zeros(Fp, np.int32)
-        o_rl = np.full(Fp, pad_rel, np.int32)
-        o_wt = np.zeros(Fp, np.float32)
-        o_ct = np.empty(nc, np.int32)
-        o_cs = np.zeros(n_tiles + 1, np.int32)
-        src = 0
-        chunk = 0
-        for t in range(n_tiles):
-            cnt = int(counts[t])
-            nch = int(chunks_per_tile[t])
-            dst = chunk * tile_f
-            o_sc[dst:dst + cnt] = sc[src:src + cnt]
-            o_ga[dst:dst + cnt] = ga[src:src + cnt]
-            o_rl[dst:dst + cnt] = rl[src:src + cnt]
-            o_wt[dst:dst + cnt] = wt[src:src + cnt]
-            o_ct[chunk:chunk + nch] = t
-            src += cnt
-            chunk += nch
-            o_cs[t + 1] = chunk
-        out.append((o_sc, o_ga, o_rl, o_wt, o_ct, o_cs))
+        out.append(build_sample_direction(
+            scatter_g[b][valid], gather_g[b][valid], rels_g[b][valid],
+            weight_g[b][valid], E, pad_rel, tile_e, tile_f))
     return out
 
 
@@ -131,3 +137,31 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
     inv = pack(_build_direction(heads, tails, rels, weight, fact_mask, E,
                                 pad_rel, tile_e, tile_f))
     return KernelLayout(fwd=fwd, inv=inv, num_entities=E)
+
+
+def pack_samples(fwd_samples, inv_samples, E: int, pad_rel: int,
+                 tile_e: int = TILE_E, tile_f: int = TILE_F) -> KernelLayout:
+    """Assemble per-sample direction tuples (from build_sample_direction,
+    possibly cached per record) into a batch KernelLayout."""
+    B = len(fwd_samples)
+    n_tiles = E // tile_e
+
+    def pack(samples):
+        nc = max(len(s[4]) for s in samples)
+        Fp = nc * tile_f
+        sc = np.full((B, Fp), -1, np.int32)
+        ga = np.zeros((B, Fp), np.int32)
+        rl = np.full((B, Fp), pad_rel, np.int32)
+        wt = np.zeros((B, Fp), np.float32)
+        ct = np.empty((B, nc), np.int32)
+        cs = np.zeros((B, n_tiles + 1), np.int32)
+        for b, (s, g, r, w, c, c_starts) in enumerate(samples):
+            sc[b, :len(s)] = s; ga[b, :len(g)] = g
+            rl[b, :len(r)] = r; wt[b, :len(w)] = w
+            ct[b, :len(c)] = c
+            ct[b, len(c):] = c[-1] if len(c) else 0
+            cs[b] = c_starts
+        return DirectionLayout(sc, ga, rl, ct, cs, wt)
+
+    return KernelLayout(fwd=pack(fwd_samples), inv=pack(inv_samples),
+                        num_entities=E)

@@ -60,6 +60,8 @@ class QuestionRecord:
     answer_gids: List[int]   # global answer entity ids
     answer_locals: np.ndarray  # int32 local ids of in-graph answers
     q_token_ids: np.ndarray  # int32 [q_len]
+    # per-E cache of tile-sorted kernel layouts (built lazily at batch time)
+    kl_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def n_entities(self) -> int:
@@ -175,13 +177,16 @@ class KGQADataset:
     """One split (train/dev/test) of ingested questions plus batch assembly."""
 
     def __init__(self, records: Sequence[QuestionRecord], *, num_entity: int,
-                 num_kb_relation: int, entity_buckets=(), fact_buckets=(),
+                 num_kb_relation: int, entity_buckets=None, fact_buckets=None,
                  pad_token_id: int = 0):
+        from .batch import DEFAULT_ENTITY_BUCKETS, DEFAULT_FACT_BUCKETS
         self.records = list(records)
         self.num_entity = num_entity
         self.num_kb_relation = num_kb_relation
-        self.entity_buckets = tuple(entity_buckets)
-        self.fact_buckets = tuple(fact_buckets)
+        self.entity_buckets = tuple(entity_buckets if entity_buckets
+                                    else DEFAULT_ENTITY_BUCKETS)
+        self.fact_buckets = tuple(fact_buckets if fact_buckets
+                                  else DEFAULT_FACT_BUCKETS)
         self.pad_token_id = pad_token_id
         self._order = np.arange(len(self.records))
         # optional per-record precomputed frozen-LM hidden states
@@ -232,7 +237,8 @@ class KGQADataset:
         if build_layout:  # kernel tiles need a 128-multiple entity count
             E = -(-E // 128) * 128
         F = bucketize(max(r.n_facts for r in recs), self.fact_buckets)
-        L = max(len(r.q_token_ids) for r in recs)
+        L = bucketize(max(len(r.q_token_ids) for r in recs),
+                      (16, 32, 64, 128))  # question-length buckets too
 
         heads = np.zeros((B, F), np.int32)
         rels = np.full((B, F), self.num_kb_relation, np.int32)  # pad rel row
@@ -269,10 +275,28 @@ class KGQADataset:
 
         layout = None
         if build_layout:
-            from .kernel_layout import build_kernel_layout
-            layout = build_kernel_layout(
-                heads, rels, tails, fact_mask, E,
-                pad_rel=self.num_kb_relation, fact_weight=rel_pair_w)
+            from .kernel_layout import build_sample_direction, pack_samples
+            empty = np.zeros(0, np.int32)
+            empty_w = np.zeros(0, np.float32)
+            fwd_s, inv_s = [], []
+            for r in recs:
+                if E not in r.kl_cache:
+                    r.kl_cache[E] = (
+                        build_sample_direction(r.tails, r.heads, r.rels,
+                                               r.rel_pair_weight, E,
+                                               self.num_kb_relation),
+                        build_sample_direction(r.heads, r.tails, r.rels,
+                                               r.rel_pair_weight, E,
+                                               self.num_kb_relation))
+                f, iv = r.kl_cache[E]
+                fwd_s.append(f)
+                inv_s.append(iv)
+            if B > len(recs):  # batch padding rows cover every tile, empty
+                pad_sample = build_sample_direction(
+                    empty, empty, empty, empty_w, E, self.num_kb_relation)
+                fwd_s.extend([pad_sample] * (B - len(recs)))
+                inv_s.extend([pad_sample] * (B - len(recs)))
+            layout = pack_samples(fwd_s, inv_s, E, self.num_kb_relation)
 
         q_hidden = None
         if self.q_hidden is not None:
