@@ -271,9 +271,15 @@ def _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
     J = ins.shape[1]
     NC = Fp // TILE_F
     n_tiles = num_entities // TILE_E
+    # manual chunk DMA requires a 128-aligned last dim: pad the feature lanes
+    # (w gets matching zero rows, so the projection result is unchanged)
+    D_pad = -(-D // 128) * 128
+    if D_pad != D:
+        fact_rel = jnp.pad(fact_rel, ((0, 0), (0, 0), (0, D_pad - D)))
+        w = jnp.pad(w, ((0, D_pad - D), (0, 0)))
     scatter_idx = scatter_idx.reshape(B, NC, TILE_F)
     prior = prior.reshape(B, NC, TILE_F)
-    fact_rel = fact_rel.reshape(B, NC, TILE_F, D)
+    fact_rel = fact_rel.reshape(B, NC, TILE_F, D_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
@@ -281,13 +287,13 @@ def _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
             pl.BlockSpec((1, NC, TILE_F), lambda b, t, cs: (b, 0, 0)),
             pl.BlockSpec((1, NC, TILE_F), lambda b, t, cs: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),      # fact_rel stays in HBM
-            pl.BlockSpec((D, D), lambda b, t, cs: (0, 0)),
+            pl.BlockSpec((D_pad, D), lambda b, t, cs: (0, 0)),
             pl.BlockSpec((1, D), lambda b, t, cs: (0, 0)),
             pl.BlockSpec((1, J, D), lambda b, t, cs: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, J, TILE_E, D), lambda b, t, cs: (b, 0, t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_F, D), fact_rel.dtype),
+            pltpu.VMEM((2, TILE_F, D_pad), fact_rel.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -519,23 +525,28 @@ def scatter_to_entities(values, scatter_idx, chunk_tiles, num_entities,
     return scatter_mm_reference(values, scatter_idx, chunk_tiles, num_entities)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_gate_scatter_v2(fact_rel, w, bias, ins, prior, scatter_idx,
-                          chunk_starts, num_entities, apply_relu=True):
-    """Tile-per-cell variant with double-buffered chunk DMA."""
+                          chunk_starts, chunk_tiles, num_entities,
+                          apply_relu=True):
+    """Tile-per-cell variant with double-buffered chunk DMA (feature lanes
+    padded to 128 for DMA alignment). chunk_tiles only feeds the backward."""
     return _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
                               chunk_starts, num_entities, apply_relu)
 
 
 def _fused_v2_fwd(fact_rel, w, bias, ins, prior, scatter_idx, chunk_starts,
-                  num_entities, apply_relu):
+                  chunk_tiles, num_entities, apply_relu):
     out = _fused_fwd_impl_v2(fact_rel, w, bias, ins, prior, scatter_idx,
                              chunk_starts, num_entities, apply_relu)
-    # chunk_tiles=None -> XLA backward (chunk_starts are not tile indices)
-    return out, (fact_rel, w, bias, ins, prior, scatter_idx, None)
+    return out, (fact_rel, w, bias, ins, prior, scatter_idx, chunk_tiles)
 
 
-fused_gate_scatter_v2.defvjp(_fused_v2_fwd, _fused_bwd)
+def _fused_v2_bwd(num_entities, apply_relu, res, g):
+    return _fused_bwd(num_entities, apply_relu, res, g) + (None,)
+
+
+fused_gate_scatter_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
 
 
 def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
@@ -544,13 +555,11 @@ def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
 
     direction: a data.kernel_layout.DirectionLayout (device arrays).
     """
-    # NOTE: the v2 tile-per-cell kernel is blocked on a Mosaic limitation —
-    # manual DMA slices require the last dim to be 128-aligned (D=50 is not).
-    # v1 (chunk-per-cell, pipeline-fetched blocks) is the production path.
     if jax.default_backend() == "tpu":
-        return fused_gate_scatter(
+        return fused_gate_scatter_v2(
             fact_rel, w, bias, ins, prior, direction.scatter,
-            direction.chunk_tiles, num_entities, apply_relu)
+            direction.chunk_starts, direction.chunk_tiles, num_entities,
+            apply_relu)
     return fused_gate_scatter_reference(
         fact_rel, w, bias, ins, prior, direction.scatter,
         direction.chunk_tiles, num_entities, apply_relu)
