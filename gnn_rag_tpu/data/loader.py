@@ -332,19 +332,50 @@ def num_kb_relation(num_relation: int, use_inverse_relation: bool,
     return n
 
 
+_INGEST_CTX: dict = {}
+
+
+def _ingest_worker_init(vocab, kwargs):
+    _INGEST_CTX["vocab"] = vocab
+    _INGEST_CTX["kwargs"] = kwargs
+
+
+def _ingest_worker(line: str):
+    return ingest_question(json.loads(line), _INGEST_CTX["vocab"],
+                           **_INGEST_CTX["kwargs"])
+
+
 def load_split(path: str, vocab: Vocab, *, data_name: str,
                use_inverse_relation: bool, use_self_loop: bool,
-               max_questions: Optional[int] = None) -> List[QuestionRecord]:
+               max_questions: Optional[int] = None,
+               num_workers: int = 0) -> List[QuestionRecord]:
+    """Ingest one split; num_workers > 0 parallelises over processes (the
+    vocab is shared via fork, not pickled per task)."""
     nkr = num_kb_relation(vocab.num_relation, use_inverse_relation, use_self_loop)
+    kwargs = dict(data_name=data_name,
+                  use_inverse_relation=use_inverse_relation,
+                  use_self_loop=use_self_loop, num_kb_relation=nkr)
     records: List[QuestionRecord] = []
+    if num_workers > 0:
+        import multiprocessing as mp
+        with open(path) as f:
+            lines = f.readlines()
+        if max_questions is not None:
+            lines = lines[: max_questions * 2]  # skip margin for empty-entity
+        ctx = mp.get_context("fork")
+        with ctx.Pool(num_workers, initializer=_ingest_worker_init,
+                      initargs=(vocab, kwargs)) as pool:
+            for rec in pool.imap(_ingest_worker, lines, chunksize=64):
+                if rec is not None:
+                    records.append(rec)
+                if max_questions is not None and len(records) >= max_questions:
+                    break
+        return records[:max_questions] if max_questions else records
     with open(path) as f:
         for line in f:
             if max_questions is not None and len(records) >= max_questions:
                 break
-            rec = ingest_question(json.loads(line), vocab, data_name=data_name,
-                                  use_inverse_relation=use_inverse_relation,
-                                  use_self_loop=use_self_loop,
-                                  num_kb_relation=nkr)
+            rec = ingest_question(json.loads(line), vocab, **kwargs)
             if rec is not None:
                 records.append(rec)
     return records

@@ -72,6 +72,22 @@ def shard_params(mesh: Mesh, params, min_shard_size: int = 16_384):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def make_sharded_forward(model, params, rel_args, mesh: Mesh):
+    """Data-parallel eval forward: params replicated, every GraphBatch leaf
+    sharded over 'dp'. Returns forward_fn(batch) for train.Evaluator. The
+    caller must pad batches to a multiple of the dp size
+    (KGQADataset.make_batch(batch_pad_to=...))."""
+    params = replicate(mesh, params)
+    rel_args = tuple(replicate(mesh, (a,))[0] if a is not None else None
+                     for a in rel_args)
+    fwd = jax.jit(lambda p, b: model.apply(p, b, *rel_args))
+
+    def forward_fn(batch):
+        return fwd(params, shard_batch(mesh, batch))
+
+    return forward_fn
+
+
 def shard_rel_hidden(mesh: Mesh, rel_hidden):
     """Relation token-state tables [R+1, Lr, Dw] shard over rows on 'tp'."""
     if rel_hidden is None:

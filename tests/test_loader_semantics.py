@@ -1,0 +1,104 @@
+"""Loader semantic quirks ported from the reference (dataset_load.py)."""
+
+import numpy as np
+import pytest
+
+from gnn_rag_tpu.data.loader import (KGQADataset, ingest_question, load_split,
+                                     num_kb_relation)
+from gnn_rag_tpu.data.vocab import Vocab
+
+ENTS = {f"m.{i}": i for i in range(10)}
+RELS = {"r.a.b_c": 0, "r.x.y_z": 1}
+VOCAB = Vocab(ENTS, RELS, {})
+NKR = num_kb_relation(2, False, True)  # +1 self loop
+
+
+def make_sample(name="webqsp"):
+    return {
+        "id": "q0", "question": "test q",
+        "entities": ["m.0"],
+        "subgraph": {"entities": ["m.0", "m.1", "m.2"],
+                     "tuples": [["m.0", "r.a.b_c", "m.1"],
+                                ["m.1", "r.x.y_z", "m.2"]]},
+        "answers": [{"kb_id": "m.2", "text": "Two"}],
+    }
+
+
+def ingest(sample, data_name="webqsp", **kw):
+    return ingest_question(sample, VOCAB, data_name=data_name,
+                           use_inverse_relation=kw.get("inv", False),
+                           use_self_loop=kw.get("self_loop", True),
+                           num_kb_relation=kw.get("nkr", NKR))
+
+
+def test_question_entities_get_first_local_ids():
+    rec = ingest(make_sample())
+    assert rec.entity_gids[0] == 0       # m.0 (question entity) is local 0
+    assert rec.seed_locals.tolist() == [0]
+
+
+def test_webqsp_masks_seeds_from_candidates_cwq_keeps():
+    rec_w = ingest(make_sample())
+    rec_c = ingest(make_sample(), data_name="cwq")
+    ds_w = KGQADataset([rec_w], num_entity=10, num_kb_relation=NKR)
+    ds_c = KGQADataset([rec_c], num_entity=10, num_kb_relation=NKR)
+    ds_w.records[0].q_token_ids = np.zeros(2, np.int32)
+    ds_c.records[0].q_token_ids = np.zeros(2, np.int32)
+    b_w = ds_w.make_batch([0])
+    b_c = ds_c.make_batch([0])
+    assert b_w.entity_gids[0, 0] == 10   # masked to pad id (dataset_load.py:249-257)
+    assert b_c.entity_gids[0, 0] == 0    # cwq keeps query entities
+
+
+def test_self_loops_appended_per_entity():
+    rec = ingest(make_sample())
+    self_rel = NKR - 1
+    n_loops = int((rec.rels == self_rel).sum())
+    assert n_loops == rec.n_entities
+    loop_rows = rec.rels == self_rel
+    np.testing.assert_array_equal(rec.heads[loop_rows], rec.tails[loop_rows])
+    assert not rec.droppable[loop_rows].any()
+
+
+def test_inverse_relations_doubling():
+    nkr_inv = num_kb_relation(2, True, True)  # 2*2+1
+    rec = ingest(make_sample(), inv=True, nkr=nkr_inv)
+    # 2 real + 2 inverse + 3 self loops
+    assert rec.n_facts == 7
+    assert (rec.rels == 0 + 2).sum() == 1  # inverse of rel 0 = rel + |R|
+
+
+def test_seed_fallback_uniform_over_all_entities():
+    sample = make_sample()
+    sample["entities"] = ["m.9"]          # in vocab but not in subgraph? it
+    # gets added to g2l first, so it IS a seed; instead use an unknown id
+    rec = ingest(sample)
+    assert rec.seed_locals.tolist() == [0]
+
+
+def test_answer_keyword_quirk():
+    # kb_id is an int -> use the 'text' field (dataset_load.py:325)
+    sample = make_sample()
+    sample["answers"] = [{"kb_id": 7, "text": "m.2"}]
+    rec = ingest(sample)
+    assert rec.answer_gids == [2]
+
+
+def test_parallel_ingest_matches_serial(tmp_path):
+    import json
+    path = tmp_path / "train.json"
+    with open(path, "w") as f:
+        for i in range(20):
+            s = make_sample()
+            s["id"] = f"q{i}"
+            f.write(json.dumps(s) + "\n")
+    serial = load_split(str(path), VOCAB, data_name="webqsp",
+                        use_inverse_relation=False, use_self_loop=True)
+    par = load_split(str(path), VOCAB, data_name="webqsp",
+                     use_inverse_relation=False, use_self_loop=True,
+                     num_workers=4)
+    assert len(serial) == len(par) == 20
+    for a, b in zip(serial, par):
+        assert a.qid == b.qid
+        np.testing.assert_array_equal(a.heads, b.heads)
+        np.testing.assert_array_equal(a.entity_gids, b.entity_gids)
