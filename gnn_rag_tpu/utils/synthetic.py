@@ -138,6 +138,60 @@ def random_records(rng: np.random.Generator, *, n_questions: int = 16,
     return ds
 
 
+def multihop_records(rng: np.random.Generator, *, n_questions: int = 32,
+                     n_entities: int = 20, num_relation: int = 10,
+                     num_entity_global: int = 2000, n_distractors: int = 30):
+    """2-hop compositional fixture: the answer is reached from the seed via a
+    question-specific relation PAIR (seed -r1-> mid -r2-> answer) among
+    distractor edges sharing r1/r2 — solvable only by composing two hops."""
+    from ..data.loader import KGQADataset, QuestionRecord
+
+    self_rel = num_relation - 1
+    n_pairs = (num_relation - 1) // 2
+    records = []
+    for qi in range(n_questions):
+        ne = n_entities
+        pair = qi % n_pairs
+        r1, r2 = 2 * pair, 2 * pair + 1
+        seed, mid, ans = 0, 1, 2
+        heads = [seed, mid]
+        rels = [r1, r2]
+        tails = [mid, ans]
+        # distractors: r1 edges to wrong mids, r2 edges from wrong mids
+        for _ in range(n_distractors):
+            a, b = rng.integers(3, ne, 2)
+            rels.append(int(rng.integers(0, num_relation - 1)))
+            heads.append(int(a)); tails.append(int(b))
+        # a decoy r2 edge NOT reachable via r1 from the seed
+        decoy = int(rng.integers(3, ne))
+        heads.append(decoy); rels.append(r2); tails.append(int(rng.integers(3, ne)))
+        ar = np.arange(ne, dtype=np.int32)
+        heads = np.concatenate([np.asarray(heads, np.int32), ar])
+        tails = np.concatenate([np.asarray(tails, np.int32), ar])
+        rels = np.concatenate([np.asarray(rels, np.int32),
+                               np.full(ne, self_rel, np.int32)])
+        droppable = np.ones(len(heads), bool)
+        droppable[-ne:] = False
+        pair_keys = heads.astype(np.int64) * (num_relation + 1) + rels
+        _, inv, counts = np.unique(pair_keys, return_inverse=True,
+                                   return_counts=True)
+        gids = rng.choice(num_entity_global, size=ne, replace=False)
+        records.append(QuestionRecord(
+            qid=f"mh{qi}", question=f"two hop question pair {pair}",
+            heads=heads, rels=rels, tails=tails, droppable=droppable,
+            rel_pair_weight=(1.0 / counts[inv]).astype(np.float32),
+            entity_gids=gids.astype(np.int64),
+            seed_locals=np.asarray([seed], np.int32),
+            candidate_masked_seeds=True,
+            answer_gids=[int(gids[ans])],
+            answer_locals=np.asarray([ans], np.int32),
+            q_token_ids=np.asarray([1, 3 + pair, 2], np.int32),
+        ))
+    ds = KGQADataset(records, num_entity=num_entity_global,
+                     num_kb_relation=num_relation)
+    return ds
+
+
 def random_rel_hidden(rng: np.random.Generator, num_relation_rows: int,
                       rel_len: int = 8, word_dim: int = 384):
     """Random frozen-LM relation token states + mask."""
