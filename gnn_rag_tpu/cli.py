@@ -223,6 +223,12 @@ def run(argv=None) -> None:
             return "".join(id2word[int(i)] + " " for i in ids
                            if int(i) in id2word)
 
+    mesh = None
+    if cfg.train.dp_size * cfg.train.tp_size > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(dp=cfg.train.dp_size, tp=cfg.train.tp_size)
+        logger.info("mesh: dp=%d tp=%d", cfg.train.dp_size, cfg.train.tp_size)
+
     trainer = Trainer(
         cfg, train_data=bundle["train"], valid_data=bundle["valid"],
         test_data=bundle["test"], num_entity=vocab.num_entity,
@@ -231,7 +237,7 @@ def run(argv=None) -> None:
         rel_hidden=rel_hidden, rel_hidden_inv=rel_hidden_inv,
         rel_text_mask=rel_mask, entity_emb=entity_emb, word_emb=word_emb,
         id2entity=vocab.id2entity, logger=logger,
-        decode_question=decode_question)
+        decode_question=decode_question, mesh=mesh)
 
     if cfg.train.load_experiment:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,

@@ -51,7 +51,8 @@ class Evaluator:
                  test_batch_size: int = 20, write_info: bool = False,
                  info_path: Optional[str] = None,
                  decode_question: Optional[Callable[[np.ndarray], str]] = None,
-                 build_layout: bool = False):
+                 build_layout: bool = False,
+                 batch_pad_to: Optional[int] = None):
         """Returns (mean_f1, mean_hit, mean_em); optionally writes `.info`."""
         data.reset_batches(is_sequential=True)
         num_batches = math.ceil(data.num_data / test_batch_size)
@@ -62,7 +63,8 @@ class Evaluator:
 
         for it in range(num_batches):
             idx = data.batch_indices(it, test_batch_size)
-            batch = data.make_batch(idx, build_layout=build_layout)
+            batch = data.make_batch(idx, build_layout=build_layout,
+                                    batch_pad_to=batch_pad_to)
             loss, pred, pred_dist = forward_fn(batch)
             pred_dist = np.asarray(pred_dist)
             losses.append(float(loss))

@@ -53,8 +53,9 @@ class Trainer:
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
                  entity_emb=None, word_emb=None,
                  id2entity: Optional[dict] = None, logger=None,
-                 decode_question=None):
+                 decode_question=None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.train_data = train_data
         self.valid_data = valid_data
         self.test_data = test_data
@@ -102,6 +103,18 @@ class Trainer:
         # with fact_drop>0 falls back to the canonical path inside the model
         self.build_layout = jax.default_backend() == "tpu"
 
+        if self.mesh is not None:
+            # dp question sharding + tp sharding of large tables; params and
+            # optimizer state placed once, batches placed per step
+            from ..parallel.mesh import replicate, shard_params
+            self.params = shard_params(self.mesh, self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x) if hasattr(x, "ndim") else x,
+                self.opt_state)
+            self.rel_args = tuple(
+                replicate(self.mesh, (a,))[0] if a is not None else None
+                for a in self.rel_args)
+
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -138,6 +151,9 @@ class Trainer:
             idx = data.batch_indices(it, cfg.batch_size)
             batch = data.make_batch(idx, batch_pad_to=cfg.batch_size,
                                     build_layout=build_layout)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+                batch = shard_batch(self.mesh, batch)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss, h1, pred_dist = self._train_step(
                 self.params, self.opt_state, step_rng, batch)
@@ -155,11 +171,22 @@ class Trainer:
     def evaluate(self, data: KGQADataset, test_batch_size: Optional[int] = None,
                  write_info: bool = False, info_path: Optional[str] = None):
         bs = test_batch_size or self.cfg.train.test_batch_size
+
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            def forward(b):
+                return self._eval_step(self.params, shard_batch(self.mesh, b))
+        else:
+            def forward(b):
+                return self._eval_step(self.params, b)
+
         return self.evaluator.evaluate(
-            data, lambda b: self._eval_step(self.params, b), bs,
+            data, forward, bs,
             write_info=write_info, info_path=info_path,
             build_layout=self.build_layout,
-            decode_question=self.decode_question)
+            decode_question=self.decode_question,
+            batch_pad_to=bs if self.mesh is not None else None)
 
     def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
         cfg = self.cfg.train
