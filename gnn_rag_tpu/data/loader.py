@@ -424,6 +424,5 @@ def load_dataset_dir(cfg) -> dict:
     }
 
 
-# re-export for API parity with the reference module
-load_dict = Vocab  # placeholder; the real helper lives in .vocab
-from .vocab import load_dict  # noqa: E402,F811
+# re-export for API parity with the reference module (dataset_load.py:632)
+from .vocab import load_dict  # noqa: E402
