@@ -108,8 +108,9 @@ class SFTTrainer:
             params = shard_llm_params(mesh, params)
         self.params = params
 
+        warmup = min(cfg.warmup_steps, max(cfg.total_steps // 10, 1))
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps)
+            0.0, cfg.learning_rate, warmup, max(cfg.total_steps, warmup + 1))
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(schedule, weight_decay=cfg.weight_decay))
