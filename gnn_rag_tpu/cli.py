@@ -69,6 +69,7 @@ def add_shared_args(parser):
     parser.add_argument("--dp_size", default=1, type=int)
     parser.add_argument("--tp_size", default=1, type=int)
     parser.add_argument("--compute_dtype", default="float32", type=str)
+    parser.add_argument("--profile_dir", default=None, type=str)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -152,7 +153,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
         decay_rate=a["decay_rate"], seed=a["seed"], fact_drop=a["fact_drop"],
         checkpoint_dir=a["checkpoint_dir"], experiment_name=experiment_name,
         load_experiment=a["load_experiment"], is_eval=a["is_eval"],
-        dp_size=a["dp_size"], tp_size=a["tp_size"])
+        dp_size=a["dp_size"], tp_size=a["tp_size"],
+        profile_dir=a["profile_dir"])
     return Config(data=data, model=model, train=train)
 
 

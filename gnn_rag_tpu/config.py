@@ -104,6 +104,8 @@ class TrainConfig:
     # mesh / parallelism (new)
     dp_size: int = 1                     # data-parallel axis over questions
     tp_size: int = 1                     # tensor axis (relation/feature sharding)
+    # observability (new): capture a jax.profiler device trace of one epoch
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

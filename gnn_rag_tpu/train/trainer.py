@@ -193,7 +193,14 @@ class Trainer:
         end_epoch = cfg.num_epoch - 1 if end_epoch is None else end_epoch
         for epoch in range(start_epoch, end_epoch + 1):
             st = time.time()
-            loss, h1_list, f1_list = self.train_epoch()
+            if epoch == start_epoch and cfg.profile_dir:
+                from ..utils.profiling import trace
+                with trace(cfg.profile_dir):
+                    loss, h1_list, f1_list = self.train_epoch()
+                self.logger.info("profiler trace written to %s",
+                                 cfg.profile_dir)
+            else:
+                loss, h1_list, f1_list = self.train_epoch()
             self.logger.info("Epoch: %d, loss: %.4f, time: %.1fs",
                              epoch + 1, loss, time.time() - st)
             self.logger.info("Training h1: %.4f, f1: %.4f",
