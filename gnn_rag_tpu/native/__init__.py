@@ -43,6 +43,10 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64]
     lib.gp_bfs_dist.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int32, ctypes.c_void_p]
+    lib.gp_random_walks.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_uint64,
+                                    ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -101,6 +105,19 @@ class NativeGraph:
             npos += L + 1
             rpos += L
         return paths
+
+    def random_walks(self, sources: Sequence[int], n_walks: int,
+                     walk_len: int, seed: int = 0) -> np.ndarray:
+        """[n_sources * n_walks, walk_len + 1] node ids, -1 padded
+        (graph-walker replacement)."""
+        src = np.ascontiguousarray(list(sources), np.int32)
+        out = np.empty((len(src) * n_walks, walk_len + 1), np.int32)
+        self._lib.gp_random_walks(self._handle,
+                                  src.ctypes.data_as(ctypes.c_void_p),
+                                  len(src), n_walks, walk_len,
+                                  ctypes.c_uint64(seed or 1),
+                                  out.ctypes.data_as(ctypes.c_void_p))
+        return out
 
     def bfs_dist(self, sources: Sequence[int]) -> np.ndarray:
         src = np.ascontiguousarray(list(sources), np.int32)

@@ -154,6 +154,41 @@ int64_t gp_all_shortest_paths(void* graph, int32_t src, int32_t dst,
   return n_paths;
 }
 
+// Uniform random walks (native replacement for the reference's graph-walker
+// pybind11 dependency, llm/src/utils/graph_utils.py:114,139). For each
+// source, n_walks walks of up to walk_len steps; out receives
+// (walk_len + 1) node ids per walk, -1 padded when a walk dead-ends.
+void gp_random_walks(void* graph, const int32_t* sources, int32_t n_sources,
+                     int32_t n_walks, int32_t walk_len, uint64_t seed,
+                     int32_t* out) {
+  const Graph& g = *static_cast<Graph*>(graph);
+  uint64_t state = seed ? seed : 0x9E3779B97F4A7C15ull;
+  auto next_rand = [&state]() {
+    // xorshift64*
+    state ^= state >> 12;
+    state ^= state << 25;
+    state ^= state >> 27;
+    return state * 0x2545F4914F6CDD1Dull;
+  };
+  int64_t pos = 0;
+  const int64_t stride = walk_len + 1;
+  for (int32_t s = 0; s < n_sources; ++s) {
+    for (int32_t wi = 0; wi < n_walks; ++wi) {
+      int32_t node = sources[s];
+      int64_t base = pos * stride;
+      for (int64_t k = 0; k < stride; ++k) out[base + k] = -1;
+      out[base] = node;
+      for (int32_t step = 1; step <= walk_len; ++step) {
+        int64_t deg = g.row_ptr[node + 1] - g.row_ptr[node];
+        if (deg <= 0) break;
+        node = g.col[g.row_ptr[node] + static_cast<int64_t>(next_rand() % deg)];
+        out[base + step] = node;
+      }
+      ++pos;
+    }
+  }
+}
+
 // Batched convenience: BFS distances from a set of sources (used by the
 // retrieval-recall tooling). dist must hold n_nodes int32.
 void gp_bfs_dist(void* graph, const int32_t* sources, int32_t n_sources,

@@ -49,3 +49,29 @@ def test_native_bfs_dist():
     dist = g.bfs_dist([node_id["a"]])
     assert dist[node_id["a"]] == 0
     assert dist[node_id["d"]] == 3
+
+
+def test_native_random_walks():
+    triples = [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")]
+    node_id = {}
+    h, r, t = [], [], []
+    for x, rel, y in triples:
+        for n in (x, y):
+            node_id.setdefault(n, len(node_id))
+        h.append(node_id[x]); r.append(0); t.append(node_id[y])
+    g = native.NativeGraph(np.asarray(h), np.asarray(r), np.asarray(t),
+                           len(node_id))
+    walks = g.random_walks([node_id["a"]], n_walks=8, walk_len=3, seed=42)
+    assert walks.shape == (8, 4)
+    assert (walks[:, 0] == node_id["a"]).all()
+    # every consecutive pair is an edge
+    adj = {(node_id[x], node_id[y]) for x, _, y in triples}
+    adj |= {(b, a) for a, b in adj}
+    for w in walks:
+        for i in range(3):
+            if w[i + 1] < 0:
+                break
+            assert (int(w[i]), int(w[i + 1])) in adj
+    # deterministic under the same seed
+    walks2 = g.random_walks([node_id["a"]], n_walks=8, walk_len=3, seed=42)
+    np.testing.assert_array_equal(walks, walks2)

@@ -102,3 +102,26 @@ def test_scatter_mm_gradient():
         E, (jnp.asarray(kl.fwd.scatter), values.dtype), 2.0 * out)
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_manual),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_v2_interpret_matches_reference(layout_case):
+    """v2 (tile-per-cell, manual chunk DMA) in interpret mode."""
+    import jax.numpy as jnp
+    kl, heads, tails, rels, mask, E = layout_case
+    rng = np.random.default_rng(9)
+    B, Fp = kl.fwd.scatter.shape
+    D, J = 16, 2
+    fact_rel = jnp.asarray(rng.standard_normal((B, Fp, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1)
+    ins = jnp.asarray(rng.standard_normal((B, J, D)).astype(np.float32))
+    prior = jnp.asarray((rng.random((B, Fp))
+                         * (kl.fwd.scatter >= 0)).astype(np.float32))
+    o2 = pallas_mp._fused_fwd_impl_v2(
+        fact_rel, w, bias, ins, prior, jnp.asarray(kl.fwd.scatter),
+        jnp.asarray(kl.fwd.chunk_starts), E, True, interpret=True)
+    oref = pallas_mp.fused_gate_scatter_reference(
+        fact_rel, w, bias, ins, prior, jnp.asarray(kl.fwd.scatter),
+        jnp.asarray(kl.fwd.chunk_tiles), E, True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(oref),
+                               rtol=1e-4, atol=1e-5)
