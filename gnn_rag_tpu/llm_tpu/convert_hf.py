@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import numpy as np
-
 from .model import LlamaConfig
 
 

@@ -8,7 +8,6 @@ returned sequences, per-sequence scores (mean log-prob, HF's
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

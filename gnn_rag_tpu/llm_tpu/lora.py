@@ -9,7 +9,7 @@ checkpoint serves without adapter logic.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

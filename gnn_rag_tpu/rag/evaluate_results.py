@@ -9,7 +9,6 @@ matches the shipped goldens byte-for-byte.
 from __future__ import annotations
 
 import json
-import os
 from typing import List, Optional, Sequence
 
 from .text_utils import match

@@ -18,7 +18,7 @@ import json
 import os
 import re
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 from .graph_utils import build_graph, get_truth_paths
 from .predict import get_output_file, load_qa_dataset

@@ -15,7 +15,7 @@ max_hops >= the dataset's diameter of interest (CWQ needs ~4).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

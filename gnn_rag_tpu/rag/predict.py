@@ -14,9 +14,9 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional
+from typing import Optional
 
 from .evaluate_results import eval_result
 from .prompt_builder import PromptBuilder

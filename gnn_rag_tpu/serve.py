@@ -15,7 +15,7 @@ endpoint via `serve_http`.
 from __future__ import annotations
 
 import json
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import numpy as np
