@@ -106,6 +106,8 @@ class TrainConfig:
     tp_size: int = 1                     # tensor axis (relation/feature sharding)
     # observability (new): capture a jax.profiler device trace of one epoch
     profile_dir: Optional[str] = None
+    # group shuffled batches by subgraph size to cut padding waste (new)
+    bucket_batches: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

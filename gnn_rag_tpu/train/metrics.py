@@ -20,18 +20,16 @@ import numpy as np
 def extract_candidates(probs: np.ndarray, entity_gids: np.ndarray,
                        query_entities: np.ndarray, pad_ent_id: int,
                        ignore_prob: float) -> List[Tuple[int, float]]:
-    """Per-sample candidate list in local slot order (evaluate.py:195-208)."""
-    out: List[Tuple[int, float]] = []
-    for c, p, s in zip(entity_gids.tolist(), probs.tolist(),
-                       query_entities.tolist()):
-        if s == 1.0:        # seed entities excluded (evaluate.py:196-203)
-            continue
-        if c == pad_ent_id:
-            continue
-        if p < ignore_prob:
-            continue
-        out.append((c, p))
-    return out
+    """Per-sample candidate list in local slot order (evaluate.py:195-208):
+    seed entities, padding slots, and probs below the eps floor are dropped.
+    Vectorised; slot order is preserved so downstream stable sorts match the
+    reference's tie-breaking."""
+    keep = ((query_entities != 1.0) & (entity_gids != pad_ent_id)
+            & (probs >= ignore_prob))
+    idx = np.nonzero(keep)[0]
+    gids = entity_gids[idx].tolist()
+    ps = probs[idx].tolist()
+    return list(zip(gids, ps))
 
 
 def f1_and_hits_eval(answers: Sequence[int],

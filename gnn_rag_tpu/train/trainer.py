@@ -143,7 +143,9 @@ class Trainer:
         rng_np = np.random.default_rng(int(jax.random.randint(
             self.rng, (), 0, 2**31 - 1)))
         self.rng, _ = jax.random.split(self.rng)
-        data.reset_batches(is_sequential=False, rng=rng_np)
+        data.reset_batches(is_sequential=False, rng=rng_np,
+                           bucket_size=cfg.batch_size if cfg.bucket_batches
+                           else None)
         num_batches = math.ceil(data.num_data / cfg.batch_size)
         losses, h1_all, f1_all = [], [], []
         build_layout = self.build_layout and self.cfg.model.fact_drop == 0.0

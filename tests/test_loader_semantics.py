@@ -102,3 +102,22 @@ def test_parallel_ingest_matches_serial(tmp_path):
         assert a.qid == b.qid
         np.testing.assert_array_equal(a.heads, b.heads)
         np.testing.assert_array_equal(a.entity_gids, b.entity_gids)
+
+
+def test_bucketed_batch_order_is_a_permutation():
+    from gnn_rag_tpu.utils.synthetic import random_records
+    rng = np.random.default_rng(0)
+    ds = random_records(rng, n_questions=40, num_relation=8,
+                        n_entities_max=30, n_facts_max=200)
+    ds.reset_batches(is_sequential=False, rng=np.random.default_rng(1),
+                     bucket_size=8)
+    order = ds._order
+    assert sorted(order.tolist()) == list(range(40))
+    # batches group similar sizes: intra-batch fact-count spread shrinks
+    sizes = np.asarray([r.n_facts for r in ds.records])
+    def spread(o):
+        return np.mean([np.ptp(sizes[o[i:i + 8]])
+                        for i in range(0, 40, 8)])
+    ds2_rng = np.random.default_rng(1)
+    uniform = ds2_rng.permutation(40)
+    assert spread(order) < spread(uniform)
