@@ -70,6 +70,8 @@ def add_shared_args(parser):
     parser.add_argument("--tp_size", default=1, type=int)
     parser.add_argument("--compute_dtype", default="float32", type=str)
     parser.add_argument("--profile_dir", default=None, type=str)
+    parser.add_argument("--num_workers", default=0, type=int,
+                        help="multiprocess JSONL ingest workers")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -171,7 +173,8 @@ def run(argv=None) -> None:
 
     logger = create_logger("gnn_rag_tpu", cfg.train.checkpoint_dir,
                            config=cfg.model)
-    bundle = load_dataset_dir(cfg)
+    bundle = load_dataset_dir(cfg,
+                              num_workers=getattr(args, "num_workers", 0))
     vocab = bundle["vocab"]
 
     rel_hidden = rel_hidden_inv = rel_mask = None

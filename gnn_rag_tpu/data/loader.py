@@ -398,7 +398,7 @@ def load_split(path: str, vocab: Vocab, *, data_name: str,
     return records
 
 
-def load_dataset_dir(cfg) -> dict:
+def load_dataset_dir(cfg, num_workers: int = 0) -> dict:
     """Load train/dev/test like the reference load_data (dataset_load.py:648-685).
 
     cfg: a config.Config. Returns dict with KGQADataset splits, Vocab, and
@@ -419,7 +419,8 @@ def load_dataset_dir(cfg) -> dict:
             continue
         recs = load_split(path, vocab, data_name=d.name,
                           use_inverse_relation=d.use_inverse_relation,
-                          use_self_loop=d.use_self_loop, max_questions=cap)
+                          use_self_loop=d.use_self_loop, max_questions=cap,
+                          num_workers=num_workers)
         ds = KGQADataset(recs, num_entity=vocab.num_entity, num_kb_relation=nkr,
                          entity_buckets=d.entity_buckets, fact_buckets=d.fact_buckets)
         ds.tokenize_questions(tokenizer, add_special=(d.lm != "lstm"))

@@ -73,3 +73,16 @@ def test_checkpoint_roundtrip(trainer):
     trainer.load_ckpt(trainer._ckpt_path("h1"))
     after = jax.tree_util.tree_leaves(trainer.params)[0]
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+def test_evaluator_entity_names_mapping(tmp_path):
+    """'sr-' dataset mode maps candidate ids through the name table
+    (evaluate.py:81-86)."""
+    from gnn_rag_tpu.train.evaluate import Evaluator
+    ev = Evaluator(eps=0.95, num_entity=100,
+                   id2entity={i: i for i in range(100)},
+                   entity_names=[f"name{i}" for i in range(100)], num_iter=1)
+    assert ev._name(7) == "name7"
+    ev2 = Evaluator(eps=0.95, num_entity=100,
+                    id2entity={7: "m.7"}, num_iter=1)
+    assert ev2._name(7) == "m.7"
