@@ -261,4 +261,6 @@ class Trainer:
         self.logger.info("Best %s, saved model as %s", reason, path)
 
     def load_ckpt(self, path: str):
-        self.params = load_pytree(path, self.params)
+        # partial overlay mirrors the reference's strict=False load
+        # (train_model.py:252)
+        self.params = load_pytree(path, self.params, partial=True)

@@ -24,12 +24,51 @@ def save_pytree(path: str, tree: Any) -> None:
             f.write(serialization.to_bytes(tree))
 
 
-def load_pytree(path: str, target: Any) -> Any:
+def load_pytree(path: str, target: Any, partial: bool = False) -> Any:
+    """Restore a pytree. With ``partial=True``, leaves present in the
+    checkpoint override matching paths in ``target`` and everything else is
+    kept — the reference's load_state_dict(strict=False) semantics
+    (train_model.py:252)."""
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, target=target)
+        if not partial:
+            return ckptr.restore(path, target=target)
+        raw = ckptr.restore(path)
+        return merge_pytrees(target, raw)
     from flax import serialization
-    with open(path + ".msgpack" if not path.endswith(".msgpack") else path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+    fpath = path + ".msgpack" if not path.endswith(".msgpack") else path
+    with open(fpath, "rb") as f:
+        data = f.read()
+    if not partial:
+        return serialization.from_bytes(target, data)
+    raw = serialization.msgpack_restore(data)
+    return merge_pytrees(target, serialization.from_state_dict(target, raw)
+                         if _same_structure(target, raw) else raw)
+
+
+def _same_structure(target, raw) -> bool:
+    import jax
+    try:
+        jax.tree_util.tree_map(lambda a, b: None, target, raw)
+        return True
+    except Exception:
+        return False
+
+
+def merge_pytrees(target: Any, source: Any) -> Any:
+    """Overlay source leaves onto target where the nested path exists and the
+    shapes match; keep target leaves elsewhere."""
+    import numpy as np
+
+    if isinstance(target, dict) and isinstance(source, dict):
+        out = {}
+        for k, v in target.items():
+            out[k] = merge_pytrees(v, source[k]) if k in source else v
+        return out
+    if hasattr(target, "shape") and hasattr(source, "shape"):
+        if tuple(target.shape) == tuple(np.shape(source)):
+            return source
+        return target
+    return source if source is not None else target

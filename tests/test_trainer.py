@@ -86,3 +86,22 @@ def test_evaluator_entity_names_mapping(tmp_path):
     ev2 = Evaluator(eps=0.95, num_entity=100,
                     id2entity={7: "m.7"}, num_iter=1)
     assert ev2._name(7) == "m.7"
+
+
+def test_partial_checkpoint_load(tmp_path):
+    """strict=False parity: a checkpoint missing keys (or with extra keys)
+    still loads the overlapping leaves (train_model.py:252)."""
+    import numpy as np
+    from gnn_rag_tpu.utils.checkpoint import load_pytree, save_pytree
+    full = {"params": {"a": np.ones((2, 2)), "b": np.zeros(3),
+                       "new_layer": np.full(4, 7.0)}}
+    old = {"params": {"a": np.full((2, 2), 5.0), "b": np.full(3, 9.0)}}
+    path = str(tmp_path / "old.ckpt")
+    save_pytree(path, old)
+    merged = load_pytree(path, full, partial=True)
+    np.testing.assert_allclose(np.asarray(merged["params"]["a"]),
+                               np.full((2, 2), 5.0))
+    np.testing.assert_allclose(np.asarray(merged["params"]["b"]),
+                               np.full(3, 9.0))
+    np.testing.assert_allclose(np.asarray(merged["params"]["new_layer"]),
+                               np.full(4, 7.0))  # kept from target
