@@ -93,3 +93,40 @@ def test_path_to_string_format():
     assert text_utils.path_to_string(p) == "a -> r1 -> b -> r2 -> c"
     assert text_utils.rule_to_string(["r1", "r2"]) == "<PATH>r1<SEP>r2</PATH>"
     assert text_utils.rule_to_string(["r1"]) == "<PATH>r1</PATH>"
+
+
+def test_simple_paths_match_networkx():
+    rng = np.random.default_rng(11)
+    triples = random_triples(rng, n_nodes=12, n_edges=25, n_rels=3)
+    ours = graph_utils.build_graph(triples)
+    theirs = nx_graph(triples)
+    nodes = list(theirs.nodes())
+    q, a = [nodes[0]], [nodes[-1]]
+    got = {text_utils.path_to_string(p)
+           for p in graph_utils.get_simple_paths(q, a, ours, hop=2)}
+    exp = set()
+    for h in q:
+        for t in a:
+            for p in nx.all_simple_edge_paths(theirs, h, t, cutoff=2):
+                exp.add(text_utils.path_to_string(
+                    [(e[0], theirs[e[0]][e[1]]["relation"], e[1]) for e in p]))
+    assert got == exp
+
+
+def test_random_and_negative_paths_are_valid_walks():
+    import random
+    triples = [("a", "r1", "b"), ("b", "r2", "c"), ("c", "r3", "d"),
+               ("a", "r4", "e")]
+    g = graph_utils.build_graph(triples)
+    paths, rules = graph_utils.get_random_paths(
+        ["a"], g, n=4, hop=2, rng=random.Random(0))
+    assert len(paths) == 4 and len(rules) == 4
+    for p, rule in zip(paths, rules):
+        assert [r for _, r, _ in p] == rule
+        for h, r, t in p:
+            assert g.relation(h, t) == r
+    neg = graph_utils.get_negative_paths(["a"], ["d"], g, n_neg=4, hop=2,
+                                         rng=random.Random(0))
+    for p in neg:
+        if p:
+            assert p[-1][-1] != "d"  # never ends at an answer

@@ -105,3 +105,10 @@ def test_partial_checkpoint_load(tmp_path):
                                np.full(3, 9.0))
     np.testing.assert_allclose(np.asarray(merged["params"]["new_layer"]),
                                np.full(4, 7.0))  # kept from target
+
+
+def test_evaluate_best_runs(trainer):
+    trainer.save_ckpt("h1")
+    trainer.save_ckpt("f1")
+    trainer.save_ckpt("final")
+    trainer.evaluate_best()  # loads all three and evaluates without error
