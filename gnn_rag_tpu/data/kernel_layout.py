@@ -35,6 +35,9 @@ class DirectionLayout(NamedTuple):
     chunk_tiles: np.ndarray  # int32 [B, NC]  entity-tile index per chunk
     chunk_starts: np.ndarray # int32 [B, n_tiles+1] chunk range per entity tile
     weight: np.ndarray       # float32 [B, Fp] per-fact weight (0 on pads)
+    perm: np.ndarray         # int32 [B, Fp]  canonical fact index (-1 = pad);
+                             # maps per-fact masks (e.g. fact dropout sampled
+                             # in canonical COO order) onto layout slots
 
 
 class KernelLayout(NamedTuple):
@@ -45,13 +48,18 @@ class KernelLayout(NamedTuple):
 
 def build_sample_direction(sc: np.ndarray, ga: np.ndarray, rl: np.ndarray,
                            wt: np.ndarray, E: int, pad_rel: int,
-                           tile_e: int = TILE_E, tile_f: int = TILE_F):
+                           tile_e: int = TILE_E, tile_f: int = TILE_F,
+                           idx: np.ndarray | None = None):
     """Tile-sort ONE sample's (scatter, gather, rel, weight) fact arrays.
-    Returns (scatter, gather, rels, weight, chunk_tiles, chunk_starts)."""
+    ``idx`` (default arange) is the canonical fact index of each input fact.
+    Returns (scatter, gather, rels, weight, chunk_tiles, chunk_starts, perm)."""
     n_tiles = E // tile_e
+    if idx is None:
+        idx = np.arange(len(sc), dtype=np.int32)
     tile = sc // tile_e
     order = np.argsort(tile, kind="stable")
     sc, ga, rl, wt, tile = sc[order], ga[order], rl[order], wt[order], tile[order]
+    pm = np.asarray(idx, np.int32)[order]
     counts = np.bincount(tile, minlength=n_tiles)
     chunks_per_tile = np.maximum(1, -(-counts // tile_f))
     nc = int(chunks_per_tile.sum())
@@ -60,6 +68,7 @@ def build_sample_direction(sc: np.ndarray, ga: np.ndarray, rl: np.ndarray,
     o_ga = np.zeros(Fp, np.int32)
     o_rl = np.full(Fp, pad_rel, np.int32)
     o_wt = np.zeros(Fp, np.float32)
+    o_pm = np.full(Fp, -1, np.int32)
     o_ct = np.empty(nc, np.int32)
     o_cs = np.zeros(n_tiles + 1, np.int32)
     src = 0
@@ -72,11 +81,12 @@ def build_sample_direction(sc: np.ndarray, ga: np.ndarray, rl: np.ndarray,
         o_ga[dst:dst + cnt] = ga[src:src + cnt]
         o_rl[dst:dst + cnt] = rl[src:src + cnt]
         o_wt[dst:dst + cnt] = wt[src:src + cnt]
+        o_pm[dst:dst + cnt] = pm[src:src + cnt]
         o_ct[chunk:chunk + nch] = t
         src += cnt
         chunk += nch
         o_cs[t + 1] = chunk
-    return (o_sc, o_ga, o_rl, o_wt, o_ct, o_cs)
+    return (o_sc, o_ga, o_rl, o_wt, o_ct, o_cs, o_pm)
 
 
 def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
@@ -91,7 +101,8 @@ def _build_direction(scatter_g: np.ndarray, gather_g: np.ndarray,
         valid = fact_mask[b] > 0
         out.append(build_sample_direction(
             scatter_g[b][valid], gather_g[b][valid], rels_g[b][valid],
-            weight_g[b][valid], E, pad_rel, tile_e, tile_f))
+            weight_g[b][valid], E, pad_rel, tile_e, tile_f,
+            idx=np.nonzero(valid)[0].astype(np.int32)))
     return out
 
 
@@ -120,17 +131,19 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
         ga = np.zeros((B, Fp), np.int32)
         rl = np.full((B, Fp), pad_rel, np.int32)
         wt = np.zeros((B, Fp), np.float32)
+        pm = np.full((B, Fp), -1, np.int32)
         # padding chunks repeat the sample's last tile so they never trigger
         # a fresh zero-init of an unrelated tile in the kernel
         ct = np.empty((B, nc), np.int32)
         cs = np.zeros((B, n_tiles + 1), np.int32)
-        for b, (s, g, r, w, c, c_starts) in enumerate(samples):
+        for b, (s, g, r, w, c, c_starts, p) in enumerate(samples):
             sc[b, :len(s)] = s; ga[b, :len(g)] = g
             rl[b, :len(r)] = r; wt[b, :len(w)] = w
+            pm[b, :len(p)] = p
             ct[b, :len(c)] = c
             ct[b, len(c):] = c[-1] if len(c) else 0
             cs[b] = c_starts
-        return DirectionLayout(sc, ga, rl, ct, cs, wt)
+        return DirectionLayout(sc, ga, rl, ct, cs, wt, pm)
 
     fwd = pack(_build_direction(tails, heads, rels, weight, fact_mask, E,
                                 pad_rel, tile_e, tile_f))
@@ -153,15 +166,17 @@ def pack_samples(fwd_samples, inv_samples, E: int, pad_rel: int,
         ga = np.zeros((B, Fp), np.int32)
         rl = np.full((B, Fp), pad_rel, np.int32)
         wt = np.zeros((B, Fp), np.float32)
+        pm = np.full((B, Fp), -1, np.int32)
         ct = np.empty((B, nc), np.int32)
         cs = np.zeros((B, n_tiles + 1), np.int32)
-        for b, (s, g, r, w, c, c_starts) in enumerate(samples):
+        for b, (s, g, r, w, c, c_starts, p) in enumerate(samples):
             sc[b, :len(s)] = s; ga[b, :len(g)] = g
             rl[b, :len(r)] = r; wt[b, :len(w)] = w
+            pm[b, :len(p)] = p
             ct[b, :len(c)] = c
             ct[b, len(c):] = c[-1] if len(c) else 0
             cs[b] = c_starts
-        return DirectionLayout(sc, ga, rl, ct, cs, wt)
+        return DirectionLayout(sc, ga, rl, ct, cs, wt, pm)
 
     return KernelLayout(fwd=pack(fwd_samples), inv=pack(inv_samples),
                         num_entities=E)

@@ -77,7 +77,8 @@ class TypeLayer(nn.Module):
                  rels: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
                  num_entities: int,
                  rel_pair_weight: Optional[jnp.ndarray] = None,
-                 layout=None) -> jnp.ndarray:
+                 layout=None,
+                 drop_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         D = self.entity_dim
         din = rel_features.shape[-1]
         w = self.param("kb_self_linear", nn.initializers.lecun_normal(),
@@ -85,13 +86,18 @@ class TypeLayer(nn.Module):
         b = self.param("kb_self_linear_bias", nn.initializers.zeros, (D,))
         if layout is not None:
             from ..ops.pallas_mp import gate_scatter
+            from ..ops.segment import layout_fact_keep
             B = heads.shape[0]
             ones_ins = jnp.ones((B, 1, D), rel_features.dtype)
 
             def prior(direction):
                 if self.norm_rel:
-                    return direction.weight
-                return (direction.scatter >= 0).astype(rel_features.dtype)
+                    p = direction.weight
+                else:
+                    p = (direction.scatter >= 0).astype(rel_features.dtype)
+                if drop_keep is not None:  # fact dropout on the fused path
+                    p = p * layout_fact_keep(direction, drop_keep)
+                return p
 
             out = (gate_scatter(rel_features[layout.fwd.rels], w, b, ones_ins,
                                 prior(layout.fwd), layout.fwd, num_entities,

@@ -127,10 +127,12 @@ class GraftNet(nn.Module):
         B, E = batch.seed_dist.shape
 
         fact_mask = batch.fact_mask
+        drop_keep = None
         if training and cfg.fact_drop > 0.0:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - cfg.fact_drop, fact_mask.shape)
-            fact_mask = fact_mask * keep.astype(fact_mask.dtype)
+            drop_keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - cfg.fact_drop,
+                fact_mask.shape).astype(fact_mask.dtype)
+            fact_mask = fact_mask * drop_keep  # layout path gated via perm
 
         if cfg.lm == "lstm":
             query_hidden, query_node = LSTMQuestionEncoder(
@@ -161,7 +163,8 @@ class GraftNet(nn.Module):
         else:
             ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
                 rel_features, batch.heads, batch.rels, batch.tails, fact_mask,
-                E, batch.fact_rel_weight, layout=batch.layout)
+                E, batch.fact_rel_weight, layout=batch.layout,
+                drop_keep=drop_keep)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = GraftReasoning(D, cfg.num_layer, cfg.pagerank_lambda,

@@ -50,7 +50,8 @@ class NSMReasoning(nn.Module):
 
     @nn.compact
     def __call__(self, batch, ent_emb, seed_dist, instructions, rel_features,
-                 candidate_mask, fact_mask, *, deterministic: bool = True):
+                 candidate_mask, fact_mask, *, deterministic: bool = True,
+                 drop_keep: Optional[jnp.ndarray] = None):
         """Runs all steps; returns (dist_history, ent_emb)."""
         D = self.entity_dim
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
@@ -70,11 +71,14 @@ class NSMReasoning(nn.Module):
                                 nn.initializers.zeros, (D,))
             if layout is not None:
                 from ..ops.pallas_mp import gate_scatter
+                from ..ops.segment import layout_fact_keep
                 direction = layout.fwd if not self.backward else layout.inv
                 fact_rel = rel_features[direction.rels]
+                valid = (direction.scatter >= 0).astype(curr_dist.dtype)
+                if drop_keep is not None:  # fact dropout on the fused path
+                    valid = valid * layout_fact_keep(direction, drop_keep)
                 prior = (jnp.take_along_axis(curr_dist, direction.gather,
-                                             axis=1)
-                         * (direction.scatter >= 0))
+                                             axis=1) * valid)
                 neighbor = gate_scatter(fact_rel, w_step, b_step,
                                         instruction[:, None, :], prior,
                                         direction, E)[:, 0]   # [B, E, D]
@@ -123,13 +127,14 @@ class NSM(nn.Module):
         B, E = batch.seed_dist.shape
 
         fact_mask = batch.fact_mask
+        drop_keep = None
         if training and cfg.fact_drop > 0.0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - cfg.fact_drop, fact_mask.shape)
             is_self_loop = (batch.rels == self.num_relation - 1)
-            fact_mask = fact_mask * jnp.where(is_self_loop, 1.0,
-                                              keep.astype(fact_mask.dtype))
-            batch = batch.replace(layout=None)
+            drop_keep = jnp.where(is_self_loop, 1.0,
+                                  keep.astype(fact_mask.dtype))
+            fact_mask = fact_mask * drop_keep  # layout paths gated via perm
 
         # ---- question encoding (nsm.py:78-83) ----
         if cfg.lm == "lstm":
@@ -166,14 +171,15 @@ class NSM(nn.Module):
         else:
             ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
                 rel_features, batch.heads, batch.rels, batch.tails, fact_mask,
-                E, batch.fact_rel_weight, layout=batch.layout)
+                E, batch.fact_rel_weight, layout=batch.layout,
+                drop_keep=drop_keep)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = NSMReasoning(D, cfg.num_step, cfg.reason_kb,
                                  cfg.linear_dropout, name="reasoning")
         history, _ = reasoning(batch, ent_emb, batch.seed_dist, instructions,
                                rel_features, candidate_mask, fact_mask,
-                               deterministic=det)
+                               deterministic=det, drop_keep=drop_keep)
         pred_dist = history[-1]
 
         loss = base.calc_loss_label(pred_dist, batch.answer_dist, cfg.loss_type)
@@ -189,7 +195,8 @@ class NSM(nn.Module):
             rev_ins = instructions[:, ::-1, :]
             back_history, _ = back_reasoning(
                 batch, ent_emb, answer_prob, rev_ins, rel_features,
-                candidate_mask, fact_mask, deterministic=det)
+                candidate_mask, fact_mask, deterministic=det,
+                drop_keep=drop_keep)
             case_valid = (jnp.sum(batch.answer_dist, axis=1, keepdims=True)
                           > 0).astype(pred_dist.dtype)
             # reference pairing (nsm.py:151-170): i=0 compares the backward

@@ -53,7 +53,8 @@ class ReasonGNN(nn.Module):
                  curr_dist: jnp.ndarray, instructions: jnp.ndarray,
                  rel_features: jnp.ndarray, rel_features_inv: jnp.ndarray,
                  candidate_mask: jnp.ndarray, fact_mask: jnp.ndarray,
-                 *, deterministic: bool = True
+                 *, deterministic: bool = True,
+                 drop_keep: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, E = curr_dist.shape
         J, D = self.num_ins, self.entity_dim
@@ -64,7 +65,7 @@ class ReasonGNN(nn.Module):
 
         if layout is not None:
             from ..ops.pallas_mp import gate_scatter
-            from ..ops.segment import batched_segment_sum
+            from ..ops.segment import batched_segment_sum, layout_fact_keep
             # bf16 gate values run the MXU at full rate (f32 accumulate in
             # the kernel either way); f32 uses exact HIGHEST passes
             cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -72,6 +73,12 @@ class ReasonGNN(nn.Module):
             fact_rel_i = rel_features_inv[layout.inv.rels].astype(cdt)
             valid_f = (layout.fwd.scatter >= 0).astype(curr_dist.dtype)
             valid_i = (layout.inv.scatter >= 0).astype(curr_dist.dtype)
+            if drop_keep is not None:
+                # fact dropout stays on the fused path: dropped facts get a
+                # zero prior/weight instead of a layout rebuild
+                # (reference drops them at batch build, dataset_load.py:489-490)
+                valid_f = valid_f * layout_fact_keep(layout.fwd, drop_keep)
+                valid_i = valid_i * layout_fact_keep(layout.inv, drop_keep)
             if self.normalized_gnn:
                 # 1/out-degree(gather entity), squared: the reference applies
                 # the weight on both the prior and the scatter (base_gnn.py:38-48)
@@ -188,14 +195,17 @@ class ReaRev(nn.Module):
         # self loops are appended after dropout in the reference
         # (dataset_load.py:499-506) and so are never dropped here either ----
         fact_mask = batch.fact_mask
+        drop_keep = None
         if training and cfg.fact_drop > 0.0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - cfg.fact_drop, fact_mask.shape)
             is_self_loop = (batch.rels == self.num_relation - 1)
-            fact_mask = fact_mask * jnp.where(is_self_loop, 1.0, keep.astype(fact_mask.dtype))
-            # fact dropout operates on the canonical mask; drop the kernel
-            # layout for this step so the dropped facts actually disappear
-            batch = batch.replace(layout=None)
+            drop_keep = jnp.where(is_self_loop, 1.0,
+                                  keep.astype(fact_mask.dtype))
+            fact_mask = fact_mask * drop_keep
+            # drop_keep (canonical COO order) also gates the kernel-layout
+            # paths below via each direction's perm map, so training with
+            # fact_drop > 0 stays on the fused Pallas kernels
 
         # ---- question encoding ----
         if cfg.lm == "lstm":
@@ -243,7 +253,8 @@ class ReaRev(nn.Module):
         else:
             ent_emb = TypeLayer(D, cfg.norm_rel, name="type_layer")(
                 rel_features, batch.heads, batch.rels, batch.tails, fact_mask,
-                E, batch.fact_rel_weight, layout=batch.layout)
+                E, batch.fact_rel_weight, layout=batch.layout,
+                drop_keep=drop_keep)
 
         candidate_mask = batch.candidate_mask(self.num_entity)
         reasoning = ReasonGNN(D, cfg.num_ins, cfg.num_gnn,
@@ -262,7 +273,8 @@ class ReaRev(nn.Module):
             curr_dist = batch.seed_dist                      # reset (rearev.py:208)
             curr_dist, ent_emb = reasoning(
                 batch, ent_emb, curr_dist, instructions, rel_features,
-                rel_features_inv, candidate_mask, fact_mask, deterministic=det)
+                rel_features_inv, candidate_mask, fact_mask, deterministic=det,
+                drop_keep=drop_keep)
             pred_dist = curr_dist
             if t < cfg.num_iter - 1:
                 new_ins = [reforms[j](instructions[:, j, :], ent_emb,

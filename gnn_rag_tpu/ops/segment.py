@@ -47,6 +47,15 @@ def batched_segment_sum(values: jnp.ndarray, index: jnp.ndarray, num_segments: i
     return out.reshape((B, num_segments) + values.shape[2:])
 
 
+def layout_fact_keep(direction, keep: jnp.ndarray) -> jnp.ndarray:
+    """Gather a canonical per-fact mask ``keep [B, F]`` (e.g. fact-dropout
+    keeps sampled in COO order) onto a DirectionLayout's tile-sorted slots
+    ``[B, Fp]`` via its ``perm`` map. Pad slots (perm == -1) return 0."""
+    perm = direction.perm
+    k = jnp.take_along_axis(keep, jnp.maximum(perm, 0), axis=1)
+    return k * (perm >= 0).astype(keep.dtype)
+
+
 def scatter_facts_to_entities(fact_values: jnp.ndarray, index: jnp.ndarray,
                               num_entities: int,
                               fact_mask: jnp.ndarray | None = None) -> jnp.ndarray:

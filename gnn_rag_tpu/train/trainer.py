@@ -99,8 +99,9 @@ class Trainer:
         self.decode_question = decode_question
         self.best_h1 = 0.0
         self.best_f1 = 0.0
-        # kernel-layout batches feed the fused Pallas path on TPU; training
-        # with fact_drop>0 falls back to the canonical path inside the model
+        # kernel-layout batches feed the fused Pallas path on TPU; fact
+        # dropout is applied on-device through each layout's perm map, so
+        # the fused path stays active under fact_drop > 0
         self.build_layout = jax.default_backend() == "tpu"
 
         if self.mesh is not None:
@@ -148,7 +149,7 @@ class Trainer:
                            else None)
         num_batches = math.ceil(data.num_data / cfg.batch_size)
         losses, h1_all, f1_all = [], [], []
-        build_layout = self.build_layout and self.cfg.model.fact_drop == 0.0
+        build_layout = self.build_layout
         for it in range(num_batches):
             idx = data.batch_indices(it, cfg.batch_size)
             batch = data.make_batch(idx, batch_pad_to=cfg.batch_size,
