@@ -72,6 +72,9 @@ def add_shared_args(parser):
     parser.add_argument("--profile_dir", default=None, type=str)
     parser.add_argument("--num_workers", default=0, type=int,
                         help="multiprocess JSONL ingest workers")
+    parser.add_argument("--bucket_batches", default=False, type=bool_flag,
+                        help="group shuffled batches by similar fact count "
+                             "(cuts padding waste on skewed datasets like CWQ)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -156,7 +159,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
         checkpoint_dir=a["checkpoint_dir"], experiment_name=experiment_name,
         load_experiment=a["load_experiment"], is_eval=a["is_eval"],
         dp_size=a["dp_size"], tp_size=a["tp_size"],
-        profile_dir=a["profile_dir"])
+        profile_dir=a["profile_dir"],
+        bucket_batches=get("bucket_batches", False))
     return Config(data=data, model=model, train=train)
 
 
@@ -212,6 +216,19 @@ def run(argv=None) -> None:
     entity_emb = load_padded(cfg.data.entity_emb_file)
     word_emb = load_padded(cfg.data.word_emb_file) if cfg.model.lm == "lstm" else None
 
+    # frozen pretrained KG relation table (base_model.py:122-134, 153-162);
+    # only consulted when relation texts are off, like the reference
+    relation_emb = None
+    if cfg.data.relation_emb_file:
+        from .data.loader import load_relation_emb
+        relation_emb = load_relation_emb(
+            os.path.join(cfg.data.data_folder, cfg.data.relation_emb_file),
+            bundle["num_kb_relation"], cfg.data.use_inverse_relation,
+            cfg.data.use_self_loop)
+        if relation_emb is None:
+            logger.info("relation_emb_file row mismatch: random init "
+                        "(base_model.py:127-128)")
+
     # tokenizer-decoded question strings in .info (evaluate.py:143-156 quirk:
     # the reference writes the DECODED token sequence, not the raw question)
     decode_question = None
@@ -241,6 +258,7 @@ def run(argv=None) -> None:
         num_word=len(vocab.word2id),
         rel_hidden=rel_hidden, rel_hidden_inv=rel_hidden_inv,
         rel_text_mask=rel_mask, entity_emb=entity_emb, word_emb=word_emb,
+        relation_emb=relation_emb,
         id2entity=vocab.id2entity, logger=logger,
         decode_question=decode_question, mesh=mesh)
 

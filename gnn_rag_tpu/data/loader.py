@@ -442,5 +442,25 @@ def load_dataset_dir(cfg, num_workers: int = 0) -> dict:
     }
 
 
+def load_relation_emb(path: str, num_kb_relation: int,
+                      use_inverse_relation: bool,
+                      use_self_loop: bool) -> Optional[np.ndarray]:
+    """Load a pretrained KG relation table (.npy of [R, d]) with the
+    reference's row conventions (base_model.py:122-134, 153-162): inverse
+    relations reuse the forward rows (concat), self-loop + pad rows are
+    zero-appended. Returns [num_kb_relation + 1, d] float32, or None (and
+    the models fall back to a trainable table) when the row count does not
+    match — the reference's 'Random Init' branch."""
+    if not path or not os.path.exists(path):
+        return None
+    half = np.load(path)
+    emb = np.concatenate([half, half]) if use_inverse_relation else half
+    num_pad = 2 if use_self_loop else 1   # self-loop row + pad row
+    emb = np.pad(emb, ((0, num_pad), (0, 0)))
+    if emb.shape[0] != num_kb_relation + 1:
+        return None
+    return emb.astype(np.float32)
+
+
 # re-export for API parity with the reference module (dataset_load.py:632)
 from .vocab import load_dict  # noqa: E402

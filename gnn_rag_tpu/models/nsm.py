@@ -120,6 +120,7 @@ class NSM(nn.Module):
                  rel_text_mask: Optional[jnp.ndarray] = None,
                  entity_emb: Optional[jnp.ndarray] = None,
                  word_emb: Optional[jnp.ndarray] = None,
+                 relation_emb: Optional[jnp.ndarray] = None,
                  *, training: bool = False):
         cfg = self.cfg
         D = cfg.entity_dim
@@ -156,6 +157,9 @@ class NSM(nn.Module):
         self_att_r = AttnEncoder(D, name="self_att_r")
         if rel_hidden is not None:
             rel_features = self_att_r(question_emb(rel_hidden), rel_text_mask)
+        elif relation_emb is not None:
+            # frozen pretrained relation table (base_model.py:122-134)
+            rel_features = nn.Dense(D, name="relation_linear1")(relation_emb)
         else:
             rel_features = nn.Dense(D, name="relation_linear1")(
                 nn.Embed(self.num_relation + 1, D, name="relation_embedding")(

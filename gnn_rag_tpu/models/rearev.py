@@ -172,6 +172,7 @@ class ReaRev(nn.Module):
                  rel_text_mask: Optional[jnp.ndarray] = None,
                  entity_emb: Optional[jnp.ndarray] = None,
                  word_emb: Optional[jnp.ndarray] = None,
+                 relation_emb: Optional[jnp.ndarray] = None,
                  *, training: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (loss, pred_top1, pred_dist).
@@ -185,7 +186,11 @@ class ReaRev(nn.Module):
         embedding lookup + projection (encode_type=False,
         base_model.py:96-114, rearev.py:79-88).
         word_emb: optional frozen word table for the LSTM encoder
-        (base_model.py:79-89)."""
+        (base_model.py:79-89).
+        relation_emb: optional frozen pretrained KG relation table
+        [num_kb_relation+1, rel_dim] (relation_emb_file,
+        base_model.py:122-134): used instead of the trainable tables when
+        relation texts are off; kept frozen by being passed as data."""
         cfg = self.cfg
         D = cfg.entity_dim
         det = not training
@@ -232,6 +237,15 @@ class ReaRev(nn.Module):
             proj_inv = question_emb(rel_hidden_inv)
             rel_features = self_att_r(proj, rel_text_mask)
             rel_features_inv = self_att_r(proj_inv, rel_text_mask)
+        elif relation_emb is not None:
+            # frozen pretrained relation table, shared projection
+            # (base_model.py:122-134 + rearev.py:95-99; the reference's
+            # relation_emb_file+ReaRev combination dereferences a
+            # relation_embedding_inv that is never created in that branch —
+            # here both directions project the same frozen table)
+            rel_features = nn.Dense(D, name="relation_linear")(relation_emb)
+            rel_features_inv = nn.Dense(D, name="relation_linear_inv_proj")(
+                relation_emb)
         else:
             rel_features = nn.Dense(D, name="relation_linear")(
                 nn.Embed(self.num_relation + 1, D, name="relation_embedding")(

@@ -51,7 +51,7 @@ class Trainer:
                  valid_data: KGQADataset, test_data: KGQADataset,
                  num_entity: int, num_kb_relation: int, num_word: int = 0,
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
-                 entity_emb=None, word_emb=None,
+                 entity_emb=None, word_emb=None, relation_emb=None,
                  id2entity: Optional[dict] = None, logger=None,
                  decode_question=None, mesh=None):
         self.cfg = cfg
@@ -63,7 +63,7 @@ class Trainer:
         self.rel_args = tuple(
             jnp.asarray(x) if x is not None else None
             for x in (rel_hidden, rel_hidden_inv, rel_text_mask,
-                      entity_emb, word_emb))
+                      entity_emb, word_emb, relation_emb))
         self.logger = logger or create_logger("trainer", cfg.train.checkpoint_dir,
                                               config=cfg.model)
         self.model = build_model(cfg, num_entity, num_kb_relation, num_word)
