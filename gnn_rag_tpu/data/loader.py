@@ -365,20 +365,51 @@ def _ingest_worker(line: str):
 def load_split(path: str, vocab: Vocab, *, data_name: str,
                use_inverse_relation: bool, use_self_loop: bool,
                max_questions: Optional[int] = None,
-               num_workers: int = 0) -> List[QuestionRecord]:
+               num_workers: int = 0,
+               cache: bool = True) -> List[QuestionRecord]:
     """Ingest one split; num_workers > 0 parallelises over processes (the
-    vocab is shared via fork, not pickled per task)."""
+    vocab is shared via fork, not pickled per task).
+
+    With ``cache=True`` (default) the ingested records are pickled next to
+    the JSONL (``<split>.json.ingest.pkl``) and reused while the source file
+    and ingest options are unchanged — JSON parsing of a reference-scale
+    split costs ~10 min of single-core host time per run otherwise."""
     nkr = num_kb_relation(vocab.num_relation, use_inverse_relation, use_self_loop)
     kwargs = dict(data_name=data_name,
                   use_inverse_relation=use_inverse_relation,
                   use_self_loop=use_self_loop, num_kb_relation=nkr)
+    meta = (os.path.getmtime(path), os.path.getsize(path), data_name,
+            use_inverse_relation, use_self_loop, max_questions)
+    cpath = path + ".ingest.pkl"
+    if cache and os.path.exists(cpath):
+        import pickle
+        try:
+            with open(cpath, "rb") as f:
+                saved = pickle.load(f)
+            if saved.get("meta") == meta:
+                return saved["records"]
+        except Exception:
+            pass  # stale/corrupt cache: fall through to re-ingest
     records: List[QuestionRecord] = []
+    def _finish(recs: List[QuestionRecord]) -> List[QuestionRecord]:
+        if cache:
+            import pickle
+            for r in recs:
+                r.kl_cache.clear()   # layouts are rebuilt lazily per E bucket
+            tmp = cpath + ".tmp"
+            try:
+                with open(tmp, "wb") as f:
+                    pickle.dump({"meta": meta, "records": recs},
+                                f, protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, cpath)
+            except OSError:
+                pass  # read-only data dir: skip caching
+        return recs
+
     if num_workers > 0:
         import multiprocessing as mp
         with open(path) as f:
             lines = f.readlines()
-        if max_questions is not None:
-            lines = lines[: max_questions * 2]  # skip margin for empty-entity
         ctx = mp.get_context("fork")
         with ctx.Pool(num_workers, initializer=_ingest_worker_init,
                       initargs=(vocab, kwargs)) as pool:
@@ -387,7 +418,7 @@ def load_split(path: str, vocab: Vocab, *, data_name: str,
                     records.append(rec)
                 if max_questions is not None and len(records) >= max_questions:
                     break
-        return records[:max_questions] if max_questions else records
+        return _finish(records[:max_questions] if max_questions else records)
     with open(path) as f:
         for line in f:
             if max_questions is not None and len(records) >= max_questions:
@@ -395,7 +426,7 @@ def load_split(path: str, vocab: Vocab, *, data_name: str,
             rec = ingest_question(json.loads(line), vocab, **kwargs)
             if rec is not None:
                 records.append(rec)
-    return records
+    return _finish(records)
 
 
 def load_dataset_dir(cfg, num_workers: int = 0) -> dict:

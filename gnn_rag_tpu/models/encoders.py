@@ -199,8 +199,11 @@ class TransformerQuestionEncoder(nn.Module):
     def __call__(self, tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         B, L = tokens.shape
         x = nn.Embed(self.vocab_size, self.hidden, name="tok_emb")(tokens)
+        # clamp positions: an out-of-range gather past max_len is undefined
+        # on the accelerator (observed as non-finite activations)
+        pos = jnp.minimum(jnp.arange(L), self.max_len - 1)
         x = x + nn.Embed(self.max_len, self.hidden, name="pos_emb")(
-            jnp.arange(L)[None, :])
+            pos[None, :])
         x = x + self.param("type_emb", nn.initializers.zeros, (self.hidden,))
         x = nn.LayerNorm(name="emb_ln")(x)
         bias = (1.0 - mask[:, None, None, :]) * VERY_NEG_NUMBER

@@ -27,14 +27,17 @@ from .encoders import TransformerQuestionEncoder
 class FrozenLM:
     def __init__(self, word_dim: int = 384, vocab_size: int = 30522,
                  layers: int = 6, heads: int = 12, intermediate: Optional[int] = None,
-                 seed: int = 0, params=None):
+                 max_len: int = 512, seed: int = 0, params=None):
         self.module = TransformerQuestionEncoder(
             vocab_size=vocab_size, hidden=word_dim, layers=layers, heads=heads,
-            intermediate=intermediate or 4 * word_dim)
+            intermediate=intermediate or 4 * word_dim, max_len=max_len)
         if params is None:
             dummy_tok = jnp.zeros((1, 8), jnp.int32)
             dummy_mask = jnp.ones((1, 8), jnp.float32)
-            params = self.module.init(jax.random.PRNGKey(seed), dummy_tok, dummy_mask)
+            # jitted init: the eager flax init dispatches every op separately
+            # (~20s for the 6-layer encoder; worse through the TPU tunnel)
+            params = jax.jit(self.module.init)(jax.random.PRNGKey(seed),
+                                               dummy_tok, dummy_mask)
         self.params = params
         self._fwd = jax.jit(lambda tok, mask: self.module.apply(self.params, tok, mask))
 
@@ -46,7 +49,8 @@ class FrozenLM:
         params, dims = load_hf_encoder(lm)
         return cls(word_dim=dims["hidden"], vocab_size=dims["vocab"],
                    layers=dims["layers"], heads=dims["heads"],
-                   intermediate=dims["intermediate"], params=params, **kw)
+                   intermediate=dims["intermediate"],
+                   max_len=dims.get("max_len", 512), params=params, **kw)
 
     def encode(self, tokens: np.ndarray, mask: Optional[np.ndarray] = None,
                pad_id: int = 0, batch: int = 256) -> np.ndarray:

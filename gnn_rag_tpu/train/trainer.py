@@ -68,12 +68,17 @@ class Trainer:
                                               config=cfg.model)
         self.model = build_model(cfg, num_entity, num_kb_relation, num_word)
 
-        # --- init params on a sample batch ---
+        # --- init params on the two SMALLEST sample graphs, under jit:
+        # unjitted flax init dispatches every op eagerly (minutes of remote
+        # round-trips at real shapes through the TPU tunnel), and parameter
+        # shapes don't depend on the graph bucket anyway ---
         sample = (train_data or test_data)
-        init_batch = sample.make_batch(sample.batch_indices(0, 2))
+        smallest = np.argsort([r.n_facts for r in sample.records])[:2]
+        init_batch = sample.make_batch(smallest)
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.rng, init_rng = jax.random.split(self.rng)
-        self.params = self.model.init(init_rng, init_batch, *self.rel_args)
+        self.params = jax.jit(self.model.init)(init_rng, init_batch,
+                                               *self.rel_args)
 
         # --- optimiser: clip -> Adam with per-epoch exponential decay
         #     (train_model.py:89-94,133-134) ---

@@ -23,15 +23,30 @@ HF_MODEL_NAMES = {
 
 
 def load_hf_encoder(lm: str) -> Tuple[dict, Dict[str, int]]:
+    """``lm`` is a registry key (sbert/bert/...) or a local checkpoint path."""
+    import os
+
     from transformers import AutoModel
-    # local assets only — fail fast instead of attempting network access
-    model = AutoModel.from_pretrained(HF_MODEL_NAMES[lm],
-                                      local_files_only=True)
+
+    # local assets only — fail fast instead of attempting network access.
+    # local_files_only alone does not stop transformers' adapter_config.json
+    # hub probe (5 retries x 8s backoff in zero-egress environments;
+    # HF_HUB_OFFLINE is read once at huggingface_hub import, so setting it
+    # here is too late), so pre-check the cache and raise immediately.
+    name = HF_MODEL_NAMES.get(lm, lm)
+    if not os.path.isdir(name):
+        from huggingface_hub import try_to_load_from_cache
+        cached = try_to_load_from_cache(name, "config.json")
+        if not isinstance(cached, str):
+            raise FileNotFoundError(
+                f"{name} is not a local directory and not in the HF cache")
+    model = AutoModel.from_pretrained(name, local_files_only=True)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     cfg = model.config
     dims = {"hidden": cfg.hidden_size, "vocab": cfg.vocab_size,
             "layers": cfg.num_hidden_layers, "heads": cfg.num_attention_heads,
-            "intermediate": cfg.intermediate_size}
+            "intermediate": cfg.intermediate_size,
+            "max_len": cfg.max_position_embeddings}
     H, heads = dims["hidden"], dims["heads"]
     hd = H // heads
 

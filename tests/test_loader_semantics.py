@@ -121,3 +121,44 @@ def test_bucketed_batch_order_is_a_permutation():
     ds2_rng = np.random.default_rng(1)
     uniform = ds2_rng.permutation(40)
     assert spread(order) < spread(uniform)
+
+
+def test_ingest_cache_roundtrip(tmp_path):
+    """Second load_split hits the pickle cache; edits invalidate it."""
+    import json
+    import os
+    import time
+
+    import numpy as np
+
+    from gnn_rag_tpu.data.loader import load_split
+    from gnn_rag_tpu.data.vocab import Vocab
+
+    ents = [f"m.{i}" for i in range(6)]
+    rels = ["a.b.c", "d.e.f"]
+    path = tmp_path / "train.json"
+    qs = [{"id": i, "question": "q", "entities": [ents[0]],
+           "subgraph": {"entities": ents, "tuples": [[ents[0], rels[0], ents[1]]]},
+           "answers": [{"kb_id": ents[1], "text": "x"}]} for i in range(3)]
+    path.write_text("\n".join(json.dumps(q) for q in qs) + "\n")
+    vocab = Vocab(entity2id={e: i for i, e in enumerate(ents)},
+                  relation2id={r: i for i, r in enumerate(rels)}, word2id={})
+    kw = dict(data_name="webqsp", use_inverse_relation=False,
+              use_self_loop=True)
+
+    r1 = load_split(str(path), vocab, **kw)
+    assert (tmp_path / "train.json.ingest.pkl").exists()
+    r2 = load_split(str(path), vocab, **kw)
+    assert len(r1) == len(r2) == 3
+    np.testing.assert_array_equal(r1[0].heads, r2[0].heads)
+
+    # changing the file invalidates the cache (different mtime/size)
+    qs.append(qs[0] | {"id": 99})
+    path.write_text("\n".join(json.dumps(q) for q in qs) + "\n")
+    os.utime(path, (time.time() + 5, time.time() + 5))
+    r3 = load_split(str(path), vocab, **kw)
+    assert len(r3) == 4
+    # differing ingest options miss the cache too
+    r4 = load_split(str(path), vocab, data_name="webqsp",
+                    use_inverse_relation=True, use_self_loop=True)
+    assert len(r4[0].heads) > len(r3[0].heads)
