@@ -75,6 +75,10 @@ def add_shared_args(parser):
     parser.add_argument("--bucket_batches", default=False, type=bool_flag,
                         help="group shuffled batches by similar fact count "
                              "(cuts padding waste on skewed datasets like CWQ)")
+    parser.add_argument("--info_attention", action="store_true",
+                        help="fill the .info per-iteration slots with "
+                             "instruction attention over question tokens "
+                             "(opt-in; the shipped artifact has them empty)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -266,6 +270,7 @@ def run(argv=None) -> None:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,
                                        cfg.train.load_experiment))
     if cfg.train.is_eval:
-        trainer.evaluate_single()
+        trainer.evaluate_single(
+            write_attention=getattr(args, "info_attention", False))
     else:
         trainer.train(0, cfg.train.num_epoch - 1)

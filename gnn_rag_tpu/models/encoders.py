@@ -193,17 +193,25 @@ class TransformerQuestionEncoder(nn.Module):
     heads: int = 12
     intermediate: int = 1536
     max_len: int = 512
+    position_style: str = "bert"   # "roberta": pad-aware offset positions
+    pad_idx: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         B, L = tokens.shape
         x = nn.Embed(self.vocab_size, self.hidden, name="tok_emb")(tokens)
+        if self.position_style == "roberta":
+            # positions = cumulative non-pad count + pad_idx (hf roberta
+            # create_position_ids_from_input_ids)
+            m = mask.astype(jnp.int32)
+            pos = jnp.cumsum(m, axis=1) * m + self.pad_idx
+        else:
+            pos = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
         # clamp positions: an out-of-range gather past max_len is undefined
         # on the accelerator (observed as non-finite activations)
-        pos = jnp.minimum(jnp.arange(L), self.max_len - 1)
-        x = x + nn.Embed(self.max_len, self.hidden, name="pos_emb")(
-            pos[None, :])
+        pos = jnp.minimum(pos, self.max_len - 1)
+        x = x + nn.Embed(self.max_len, self.hidden, name="pos_emb")(pos)
         x = x + self.param("type_emb", nn.initializers.zeros, (self.hidden,))
         x = nn.LayerNorm(name="emb_ln")(x)
         bias = (1.0 - mask[:, None, None, :]) * VERY_NEG_NUMBER

@@ -27,8 +27,8 @@ from .encoders import TransformerQuestionEncoder
 class FrozenLM:
     def __init__(self, word_dim: int = 384, vocab_size: int = 30522,
                  layers: int = 6, heads: int = 12, intermediate: Optional[int] = None,
-                 max_len: int = 512, seed: int = 0, params=None):
-        self.module = TransformerQuestionEncoder(
+                 max_len: int = 512, seed: int = 0, params=None, module=None):
+        self.module = module or TransformerQuestionEncoder(
             vocab_size=vocab_size, hidden=word_dim, layers=layers, heads=heads,
             intermediate=intermediate or 4 * word_dim, max_len=max_len)
         if params is None:
@@ -43,14 +43,36 @@ class FrozenLM:
 
     @classmethod
     def from_hf(cls, lm: str, **kw) -> "FrozenLM":
-        """Load a local HF torch checkpoint (sbert/bert/...) into the flax
-        encoder. Raises when assets are unavailable."""
+        """Load a local HF torch checkpoint into the matching flax encoder.
+        Dispatches on architecture (bert family / roberta / t5 / mpnet —
+        the reference's seven --lm variants, bert_encoder.py:29-59).
+        Raises when assets are unavailable."""
         from ..utils.hf_import import load_hf_encoder
         params, dims = load_hf_encoder(lm)
-        return cls(word_dim=dims["hidden"], vocab_size=dims["vocab"],
-                   layers=dims["layers"], heads=dims["heads"],
-                   intermediate=dims["intermediate"],
-                   max_len=dims.get("max_len", 512), params=params, **kw)
+        arch = dims.get("arch", "bert")
+        if arch == "t5":
+            from .encoder_variants import T5Encoder
+            module = T5Encoder(
+                vocab_size=dims["vocab"], hidden=dims["hidden"],
+                layers=dims["layers"], heads=dims["heads"],
+                head_dim=dims["head_dim"], intermediate=dims["intermediate"],
+                num_buckets=dims["num_buckets"],
+                max_distance=dims["max_distance"], eps=dims["eps"])
+        elif arch == "mpnet":
+            from .encoder_variants import MPNetEncoder
+            module = MPNetEncoder(
+                vocab_size=dims["vocab"], hidden=dims["hidden"],
+                layers=dims["layers"], heads=dims["heads"],
+                intermediate=dims["intermediate"], max_len=dims["max_len"],
+                num_buckets=dims["num_buckets"], pad_idx=dims["pad_idx"],
+                eps=dims["eps"])
+        else:
+            module = TransformerQuestionEncoder(
+                vocab_size=dims["vocab"], hidden=dims["hidden"],
+                layers=dims["layers"], heads=dims["heads"],
+                intermediate=dims["intermediate"], max_len=dims["max_len"],
+                position_style=arch, pad_idx=dims.get("pad_idx", 0))
+        return cls(word_dim=dims["hidden"], params=params, module=module, **kw)
 
     def encode(self, tokens: np.ndarray, mask: Optional[np.ndarray] = None,
                pad_id: int = 0, batch: int = 256) -> np.ndarray:

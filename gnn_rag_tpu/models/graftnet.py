@@ -121,7 +121,11 @@ class GraftNet(nn.Module):
                  entity_emb: Optional[jnp.ndarray] = None,
                  word_emb: Optional[jnp.ndarray] = None,
                  relation_emb: Optional[jnp.ndarray] = None,
-                 *, training: bool = False):
+                 *, training: bool = False, return_attn: bool = False):
+        if return_attn:
+            raise ValueError("GraftNet has no instruction attention to "
+                             "export (the reference's GraftNet also returns "
+                             "tp_list=None)")
         cfg = self.cfg
         D = cfg.entity_dim
         det = not training

@@ -121,7 +121,7 @@ class NSM(nn.Module):
                  entity_emb: Optional[jnp.ndarray] = None,
                  word_emb: Optional[jnp.ndarray] = None,
                  relation_emb: Optional[jnp.ndarray] = None,
-                 *, training: bool = False):
+                 *, training: bool = False, return_attn: bool = False):
         cfg = self.cfg
         D = cfg.entity_dim
         det = not training
@@ -165,7 +165,7 @@ class NSM(nn.Module):
                 nn.Embed(self.num_relation + 1, D, name="relation_embedding")(
                     jnp.arange(self.num_relation + 1)))
 
-        instructions, _ = InstructionDecoder(
+        instructions, ins_attn = InstructionDecoder(
             D, cfg.num_step, cfg.linear_dropout, name="instruction_decoder")(
             query_hidden, query_node, batch.q_mask, deterministic=det)
 
@@ -216,4 +216,8 @@ class NSM(nn.Module):
                     + cfg.lambda_constrain * constrain_loss)
 
         pred = jnp.argmax(pred_dist, axis=1)
+        if return_attn:
+            # one instruction per reasoning step: attention rows align with
+            # the "0".."num_step-1" info slots exactly
+            return loss, pred, pred_dist, ins_attn[..., 0]
         return loss, pred, pred_dist

@@ -173,9 +173,16 @@ class ReaRev(nn.Module):
                  entity_emb: Optional[jnp.ndarray] = None,
                  word_emb: Optional[jnp.ndarray] = None,
                  relation_emb: Optional[jnp.ndarray] = None,
-                 *, training: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (loss, pred_top1, pred_dist).
+                 *, training: bool = False, return_attn: bool = False
+                 ) -> Tuple[jnp.ndarray, ...]:
+        """Returns (loss, pred_top1, pred_dist)[, instruction_attn].
+
+        return_attn additionally returns the instruction attention over
+        question tokens [B, num_ins, L] — the interpretable artifact the
+        reference's write_info slots ("0".."num_iter-1") were designed for
+        (evaluate.py:106-137; at eval the reference models return
+        tp_list=None so the shipped slots are empty — attention export here
+        is an opt-in extension).
 
         rel_hidden[_inv]: [R+1, Lr, word_dim] frozen-LM token states over
         relation surface forms (equivalent of base_model.encode_rel_texts,
@@ -255,7 +262,7 @@ class ReaRev(nn.Module):
                     jnp.arange(self.num_relation + 1)))
 
         # ---- instructions ----
-        instructions, _ = InstructionDecoder(
+        instructions, ins_attn = InstructionDecoder(
             D, cfg.num_ins, cfg.linear_dropout, name="instruction_decoder")(
             query_hidden, query_node, batch.q_mask, deterministic=det)
 
@@ -298,4 +305,6 @@ class ReaRev(nn.Module):
 
         loss = base.calc_loss_label(pred_dist, batch.answer_dist, cfg.loss_type)
         pred = jnp.argmax(pred_dist, axis=1)
+        if return_attn:
+            return loss, pred, pred_dist, ins_attn[..., 0]   # [B, J, L]
         return loss, pred, pred_dist

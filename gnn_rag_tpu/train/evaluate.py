@@ -52,8 +52,15 @@ class Evaluator:
                  info_path: Optional[str] = None,
                  decode_question: Optional[Callable[[np.ndarray], str]] = None,
                  build_layout: bool = False,
-                 batch_pad_to: Optional[int] = None):
-        """Returns (mean_f1, mean_hit, mean_em); optionally writes `.info`."""
+                 batch_pad_to: Optional[int] = None,
+                 attn_forward_fn: Optional[Callable] = None):
+        """Returns (mean_f1, mean_hit, mean_em); optionally writes `.info`.
+
+        attn_forward_fn(batch) -> (loss, pred, pred_dist, attn[B, J, L]):
+        when given (and writing info), the per-iteration slots "0".."J-1"
+        carry {"attention": [...]} over the question tokens instead of the
+        shipped-artifact empty dicts (opt-in interpretability extension of
+        evaluate.py:106-137)."""
         data.reset_batches(is_sequential=True)
         num_batches = math.ceil(data.num_data / test_batch_size)
         ignore_prob = (1 - self.eps) / data.max_local_entity  # evaluate.py:156
@@ -65,7 +72,12 @@ class Evaluator:
             idx = data.batch_indices(it, test_batch_size)
             batch = data.make_batch(idx, build_layout=build_layout,
                                     batch_pad_to=batch_pad_to)
-            loss, pred, pred_dist = forward_fn(batch)
+            attn = None
+            if write_info and attn_forward_fn is not None:
+                loss, pred, pred_dist, attn = attn_forward_fn(batch)
+                attn = np.asarray(attn)
+            else:
+                loss, pred, pred_dist = forward_fn(batch)
             pred_dist = np.asarray(pred_dist)
             losses.append(float(loss))
             answers_batch = data.answers_for(idx)
@@ -88,6 +100,13 @@ class Evaluator:
                     obj = {"question": q}
                     for j in range(self.num_iter):
                         obj[str(j)] = {}
+                    if attn is not None:
+                        # attention over the question's real tokens only
+                        L = len(rec.q_token_ids)
+                        for j in range(min(self.num_iter, attn.shape[1])):
+                            obj[str(j)] = {"attention":
+                                           [round(float(a), 6) for a in
+                                            attn[b, j, :L]]}
                     obj["answers"] = [self._name(a) for a in answers]
                     obj["precison"] = p
                     obj["recall"] = r

@@ -123,6 +123,11 @@ class Trainer:
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # instruction-attention eval step (opt-in .info extension); GraftNet
+        # has no instruction decoder to export
+        self._eval_step_attn = (
+            jax.jit(partial(self._eval_step_impl, return_attn=True))
+            if cfg.model.model_name != "GraftNet" else None)
 
     # ------------------------------------------------------------------ steps
     def _train_step_impl(self, params, opt_state, rng, batch):
@@ -139,8 +144,9 @@ class Trainer:
         h1 = model_base.calc_h1(pred_dist, batch.answer_dist)
         return params, opt_state, loss, h1, pred_dist
 
-    def _eval_step_impl(self, params, batch):
-        return self.model.apply(params, batch, *self.rel_args, training=False)
+    def _eval_step_impl(self, params, batch, return_attn: bool = False):
+        return self.model.apply(params, batch, *self.rel_args, training=False,
+                                return_attn=return_attn)
 
     # ------------------------------------------------------------------ loops
     def train_epoch(self):
@@ -177,7 +183,8 @@ class Trainer:
         return float(np.mean(losses)), h1_all, f1_all
 
     def evaluate(self, data: KGQADataset, test_batch_size: Optional[int] = None,
-                 write_info: bool = False, info_path: Optional[str] = None):
+                 write_info: bool = False, info_path: Optional[str] = None,
+                 write_attention: bool = False):
         bs = test_batch_size or self.cfg.train.test_batch_size
 
         if self.mesh is not None:
@@ -189,12 +196,25 @@ class Trainer:
             def forward(b):
                 return self._eval_step(self.params, b)
 
+        attn_forward = None
+        if write_attention and self._eval_step_attn is not None:
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                def attn_forward(b):
+                    return self._eval_step_attn(self.params,
+                                                shard_batch(self.mesh, b))
+            else:
+                def attn_forward(b):
+                    return self._eval_step_attn(self.params, b)
+
         return self.evaluator.evaluate(
             data, forward, bs,
             write_info=write_info, info_path=info_path,
             build_layout=self.build_layout,
             decode_question=self.decode_question,
-            batch_pad_to=bs if self.mesh is not None else None)
+            batch_pad_to=bs if self.mesh is not None else None,
+            attn_forward_fn=attn_forward)
 
     def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
         cfg = self.cfg.train
@@ -242,7 +262,8 @@ class Trainer:
                              reason, f1, h1, em)
 
     def evaluate_single(self, ckpt_path: Optional[str] = None,
-                        info_path: Optional[str] = None):
+                        info_path: Optional[str] = None,
+                        write_attention: bool = False):
         """Eval-only entry (train_model.py:201-207): dev metrics + test .info."""
         if ckpt_path:
             self.load_ckpt(ckpt_path)
@@ -251,7 +272,8 @@ class Trainer:
         info_path = info_path or os.path.join(
             self.cfg.train.checkpoint_dir,
             f"{self.cfg.train.experiment_name}_test.info")
-        te = self.evaluate(self.test_data, write_info=True, info_path=info_path)
+        te = self.evaluate(self.test_data, write_info=True, info_path=info_path,
+                           write_attention=write_attention)
         self.logger.info("TEST F1: %.4f, H1: %.4f, EM: %.4f", *te)
         return ev, te
 

@@ -31,11 +31,26 @@ def load_pytree(path: str, target: Any, partial: bool = False) -> Any:
     (train_model.py:252)."""
     path = os.path.abspath(path)
     if os.path.isdir(path):
+        import jax
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         if not partial:
             return ckptr.restore(path, target=target)
-        raw = ckptr.restore(path)
+        # partial overlay: the checkpoint tree may differ from target, so
+        # restore it standalone — but via an abstract target built from the
+        # checkpoint's own metadata, NOT targetless: a targetless restore
+        # re-applies the sharding metadata of the saving machine and fails
+        # on a different topology ("Device TPU v5 lite0 was not found")
+        try:
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", meta)
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            abstract = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=sharding), tree)
+            raw = ckptr.restore(path, target=abstract)
+        except Exception:
+            raw = ckptr.restore(path)
         return merge_pytrees(target, raw)
     from flax import serialization
     fpath = path + ".msgpack" if not path.endswith(".msgpack") else path

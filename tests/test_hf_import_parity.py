@@ -34,7 +34,8 @@ def test_bert_encoder_activation_parity(tiny_bert_dir):
 
     params, dims = load_hf_encoder(path)
     assert dims == {"hidden": 32, "vocab": 120, "layers": 2, "heads": 4,
-                    "intermediate": 64, "max_len": 48}
+                    "intermediate": 64, "max_len": 48, "arch": "bert",
+                    "pad_idx": 0}
     enc = TransformerQuestionEncoder(
         vocab_size=dims["vocab"], hidden=dims["hidden"],
         layers=dims["layers"], heads=dims["heads"],
