@@ -153,14 +153,23 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
 
 
 def pack_samples(fwd_samples, inv_samples, E: int, pad_rel: int,
-                 tile_e: int = TILE_E, tile_f: int = TILE_F) -> KernelLayout:
+                 tile_e: int = TILE_E, tile_f: int = TILE_F,
+                 num_chunks: int | None = None) -> KernelLayout:
     """Assemble per-sample direction tuples (from build_sample_direction,
-    possibly cached per record) into a batch KernelLayout."""
+    possibly cached per record) into a batch KernelLayout.
+
+    ``num_chunks`` fixes the padded chunk count. Callers batching real data
+    MUST pass the (E, F)-bucket bound ``F//tile_f + E//tile_e`` (every
+    sample satisfies nc <= ceil(F/tile_f) + n_tiles): without it the padded
+    width follows the batch max and every batch gets a fresh XLA
+    compilation — minutes per step through a remote-compile TPU tunnel."""
     B = len(fwd_samples)
     n_tiles = E // tile_e
 
     def pack(samples):
-        nc = max(len(s[4]) for s in samples)
+        nc = num_chunks or max(len(s[4]) for s in samples)
+        assert all(len(s[4]) <= nc for s in samples), (
+            "num_chunks bound too small", nc, max(len(s[4]) for s in samples))
         Fp = nc * tile_f
         sc = np.full((B, Fp), -1, np.int32)
         ga = np.zeros((B, Fp), np.int32)

@@ -292,7 +292,8 @@ class KGQADataset:
 
         layout = None
         if build_layout:
-            from .kernel_layout import build_sample_direction, pack_samples
+            from .kernel_layout import (TILE_E, TILE_F, build_sample_direction,
+                                        pack_samples)
             empty = np.zeros(0, np.int32)
             empty_w = np.zeros(0, np.float32)
             fwd_s, inv_s = [], []
@@ -313,7 +314,11 @@ class KGQADataset:
                     empty, empty, empty, empty_w, E, self.num_kb_relation)
                 fwd_s.extend([pad_sample] * (B - len(recs)))
                 inv_s.extend([pad_sample] * (B - len(recs)))
-            layout = pack_samples(fwd_s, inv_s, E, self.num_kb_relation)
+            # chunk count padded to the (E, F) bucket bound so the jitted
+            # step shape depends only on the bucket, never on batch content
+            nc_bucket = F // TILE_F + E // TILE_E
+            layout = pack_samples(fwd_s, inv_s, E, self.num_kb_relation,
+                                  num_chunks=nc_bucket)
 
         q_hidden = None
         if self.q_hidden is not None:

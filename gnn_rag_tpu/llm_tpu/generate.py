@@ -1,13 +1,23 @@
-"""Decoding for the TPU LLM: greedy and beam search with a KV cache.
+"""Decoding for the TPU LLM: jitted batched greedy and beam search.
+
+The whole decode loop lives on device inside ``lax.while_loop`` /
+``lax.fori_loop`` — one host round-trip per *generation*, not per token
+(round 1 dispatched every token from the host, unusable at the
+gen_rule_path.py:71-99 scale of thousands of questions). Prompts are
+batched LEFT-padded so every row's last prompt token sits at the same slot;
+RoPE positions and attention validity are per-row exact via an explicit
+kv-slot mask.
 
 Beam search mirrors what rag/gen_rule_path needs from HF generate
 (reference: llm/src/qa_prediction/gen_rule_path.py:71-99): N beams, N
-returned sequences, per-sequence scores (mean log-prob, HF's
-``sequences_scores`` with length_penalty 1.0) plus softmax-normalised scores.
+returned sequences, per-sequence scores (sum log-prob / length, HF's
+``sequences_scores`` with length_penalty 1.0) plus softmax-normalised
+scores.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -16,100 +26,227 @@ import numpy as np
 
 from .model import LlamaLM
 
+NEG_INF = -1e30
+
+
+def _left_pad(prompts: List[List[int]], pad_to_multiple: int = 32,
+              pad_id: int = 0, budget: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad a ragged prompt batch -> (tokens [B, L], mask [B, L]).
+
+    L rounds up to a bucket (bounding recompiles across ragged batches)
+    unless that would overflow ``budget`` (max_len - max_new_tokens)."""
+    L = max(len(p) for p in prompts)
+    Lb = -(-L // pad_to_multiple) * pad_to_multiple
+    L = Lb if budget is None or Lb <= budget else L
+    B = len(prompts)
+    toks = np.full((B, L), pad_id, np.int32)
+    mask = np.zeros((B, L), np.float32)
+    for i, p in enumerate(prompts):
+        toks[i, L - len(p):] = p
+        mask[i, L - len(p):] = 1.0
+    return toks, mask
+
 
 class Decoder:
+    """Batched KV-cache decoder over a LlamaLM.
+
+    ``greedy_batch``/``beam_search_batch`` jit-compile once per
+    (batch, prompt-bucket, max_new, num_beams) shape; single-prompt
+    ``greedy``/``beam_search`` wrap them.
+    """
+
     def __init__(self, model: LlamaLM, params, max_len: int = 512):
         self.model = model
         self.params = params
         self.max_len = max_len
+        self._greedy = jax.jit(self._greedy_impl, static_argnums=(3, 4))
+        self._beam = jax.jit(self._beam_impl, static_argnums=(3, 4, 5))
 
-        @jax.jit
-        def _prefill(params, tokens, caches):
-            logits, caches = model.apply(params, tokens, kv_caches=caches,
-                                         cache_index=0)
-            return logits, caches
+    # ------------------------------------------------------------- helpers
+    def _prefill(self, params, tokens, mask):
+        B, L = tokens.shape
+        caches = self.model.init_kv_cache(B, self.max_len)
+        positions = (jnp.cumsum(mask, axis=1) - 1.0) * mask   # pads -> 0
+        kv_valid = jnp.zeros((B, self.max_len), jnp.float32)
+        kv_valid = jax.lax.dynamic_update_slice(kv_valid, mask, (0, 0))
+        logits, caches = self.model.apply(
+            params, tokens, positions=positions.astype(jnp.int32),
+            kv_caches=caches, cache_index=0, kv_valid=kv_valid)
+        return logits, caches, kv_valid
 
-        @jax.jit
-        def _step(params, tok, caches, index):
-            logits, caches = model.apply(params, tok, kv_caches=caches,
-                                         cache_index=index)
-            return logits[:, -1], caches
+    def _decode_one(self, params, cur, caches, kv_valid, slot, positions):
+        """One token for every row: cur [B,1] at cache slot ``slot``."""
+        kv_valid = jax.lax.dynamic_update_slice(
+            kv_valid, jnp.ones_like(cur, jnp.float32), (0, slot))
+        logits, caches = self.model.apply(
+            params, cur, positions=positions, kv_caches=caches,
+            cache_index=slot, kv_valid=kv_valid)
+        return logits[:, -1], caches, kv_valid
 
-        self._prefill = _prefill
-        self._step = _step
+    # ------------------------------------------------------------- greedy
+    def _greedy_impl(self, params, tokens, mask, max_new: int, eos_id: int):
+        B, L = tokens.shape
+        logits, caches, kv_valid = self._prefill(params, tokens, mask)
+        true_len = jnp.sum(mask, axis=1).astype(jnp.int32)    # [B]
+        first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        out = jnp.zeros((B, max_new), jnp.int32)
+        out = out.at[:, 0].set(first)
+        done = first == eos_id
 
-    # ------------------------------------------------------------------
-    def greedy(self, prompt_tokens: List[int], max_new_tokens: int = 128,
-               eos_id: Optional[int] = None) -> List[int]:
-        tokens = jnp.asarray([prompt_tokens], jnp.int32)
-        caches = self.model.init_kv_cache(1, self.max_len)
-        logits, caches = self._prefill(self.params, tokens, caches)
-        cur = int(jnp.argmax(logits[0, len(prompt_tokens) - 1]))
-        out = [cur]
-        index = len(prompt_tokens)
-        for _ in range(max_new_tokens - 1):
-            if eos_id is not None and cur == eos_id:
-                break
-            logits, caches = self._step(
-                self.params, jnp.asarray([[cur]], jnp.int32), caches,
-                jnp.asarray(index, jnp.int32))
-            cur = int(jnp.argmax(logits[0]))
-            out.append(cur)
-            index += 1
+        def cond(state):
+            i, _, _, _, done, _ = state
+            return jnp.logical_and(i < max_new, ~jnp.all(done))
+
+        def body(state):
+            i, cur, caches, kv_valid, done, out = state
+            slot = L + i - 1
+            pos = (true_len + i - 1)[:, None]
+            nxt_logits, caches, kv_valid = self._decode_one(
+                params, cur[:, None], caches, kv_valid, slot, pos)
+            nxt = jnp.argmax(nxt_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, nxt[:, None], i, axis=1)
+            done = jnp.logical_or(done, nxt == eos_id)
+            return i + 1, nxt, caches, kv_valid, done, out
+
+        _, _, _, _, done, out = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1), first, caches, kv_valid, done, out))
         return out
 
-    # ------------------------------------------------------------------
+    def greedy_batch(self, prompts: List[List[int]], max_new_tokens: int = 128,
+                     eos_id: Optional[int] = None) -> List[List[int]]:
+        toks, mask = _left_pad(prompts, budget=self.max_len - max_new_tokens)
+        assert toks.shape[1] + max_new_tokens <= self.max_len, (
+            toks.shape, max_new_tokens, self.max_len)
+        out = np.asarray(self._greedy(self.params, jnp.asarray(toks),
+                                      jnp.asarray(mask), max_new_tokens,
+                                      -1 if eos_id is None else eos_id))
+        res = []
+        for row in out:
+            seq = row.tolist()
+            if eos_id is not None and eos_id in seq:
+                seq = seq[: seq.index(eos_id) + 1]
+            res.append(seq)
+        return res
+
+    def greedy(self, prompt_tokens: List[int], max_new_tokens: int = 128,
+               eos_id: Optional[int] = None) -> List[int]:
+        return self.greedy_batch([prompt_tokens], max_new_tokens, eos_id)[0]
+
+    # ------------------------------------------------------------- beam
+    def _beam_impl(self, params, tokens, mask, num_beams: int, max_new: int,
+                   eos_id: int):
+        B, L = tokens.shape
+        K = num_beams
+        V = self.model.cfg.vocab_size
+        logits, caches, kv_valid = self._prefill(params, tokens, mask)
+        true_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+        lp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        beam_scores, first = jax.lax.top_k(lp0, K)            # [B, K]
+        beam_toks = jnp.zeros((B, K, max_new), jnp.int32)
+        beam_toks = beam_toks.at[:, :, 0].set(first)
+
+        # beams share the prompt cache: repeat rows K times -> [B*K, ...]
+        caches = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, K, axis=0), caches)
+        kv_valid = jnp.repeat(kv_valid, K, axis=0)
+        true_rep = jnp.repeat(true_len, K, axis=0)
+
+        fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+        fin_toks = jnp.zeros((B, K, max_new), jnp.int32)
+        fin_lens = jnp.ones((B, K), jnp.int32)
+        batch_idx = jnp.arange(B)
+
+        def body(i, state):
+            caches, kv_valid, beam_scores, beam_toks, fin_scores, fin_toks, \
+                fin_lens = state
+            cur = beam_toks[:, :, i - 1].reshape(B * K, 1)
+            slot = L + i - 1
+            pos = (true_rep + i - 1)[:, None]
+            nxt_logits, caches, kv_valid = self._decode_one(
+                params, cur, caches, kv_valid, slot, pos)
+            lp = jax.nn.log_softmax(nxt_logits.astype(jnp.float32), axis=-1)
+            cand = beam_scores[:, :, None] + lp.reshape(B, K, V)
+            top_s, top_i = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
+            tok = (top_i % V).astype(jnp.int32)               # [B, 2K]
+            src = top_i // V
+            is_eos = tok == eos_id
+
+            # candidate buffers: source beam's tokens with position i set
+            cand_toks = jnp.take_along_axis(beam_toks, src[:, :, None],
+                                            axis=1)           # [B, 2K, T]
+            cand_toks = jax.lax.dynamic_update_slice_in_dim(
+                cand_toks, tok[:, :, None], i, axis=2)
+
+            # finished hypotheses: eos candidates ranked < K (HF beam rule);
+            # normalised score = sum logprob / generated length (incl eos)
+            rank_ok = jnp.arange(2 * K)[None, :] < K
+            eos_norm = jnp.where(jnp.logical_and(is_eos, rank_ok),
+                                 top_s / (i + 1.0), NEG_INF)
+            all_s = jnp.concatenate([fin_scores, eos_norm], axis=1)
+            all_t = jnp.concatenate([fin_toks, cand_toks], axis=1)
+            all_l = jnp.concatenate(
+                [fin_lens, jnp.full((B, 2 * K), i + 1, jnp.int32)], axis=1)
+            fin_scores, keep = jax.lax.top_k(all_s, K)
+            fin_toks = all_t[batch_idx[:, None], keep]
+            fin_lens = all_l[batch_idx[:, None], keep]
+
+            # continuing beams: best K non-eos candidates
+            cont_s = jnp.where(is_eos, NEG_INF, top_s)
+            beam_scores, pick = jax.lax.top_k(cont_s, K)      # [B, K]
+            src_k = jnp.take_along_axis(src, pick, axis=1)
+            beam_toks = jnp.take_along_axis(cand_toks, pick[:, :, None],
+                                            axis=1)
+            flat_src = (batch_idx[:, None] * K + src_k).reshape(-1)
+            caches = jax.tree_util.tree_map(lambda x: x[flat_src], caches)
+            return (caches, kv_valid, beam_scores, beam_toks, fin_scores,
+                    fin_toks, fin_lens)
+
+        state = (caches, kv_valid, beam_scores, beam_toks, fin_scores,
+                 fin_toks, fin_lens)
+        state = jax.lax.fori_loop(1, max_new, body, state)
+        _, _, beam_scores, beam_toks, fin_scores, fin_toks, fin_lens = state
+
+        # finalize: running beams enter at length max_new (HF finalize rule)
+        all_s = jnp.concatenate([fin_scores, beam_scores / max_new], axis=1)
+        all_t = jnp.concatenate([fin_toks, beam_toks], axis=1)
+        all_l = jnp.concatenate(
+            [fin_lens, jnp.full((B, K), max_new, jnp.int32)], axis=1)
+        out_s, keep = jax.lax.top_k(all_s, K)
+        out_t = all_t[batch_idx[:, None], keep]
+        out_l = all_l[batch_idx[:, None], keep]
+        return out_t, out_l, out_s
+
+    def beam_search_batch(self, prompts: List[List[int]], num_beams: int = 3,
+                          max_new_tokens: int = 128,
+                          eos_id: Optional[int] = None
+                          ) -> List[Tuple[List[List[int]], np.ndarray,
+                                          np.ndarray]]:
+        """Returns per prompt: (sequences, scores, norm_scores)."""
+        toks, mask = _left_pad(prompts, budget=self.max_len - max_new_tokens)
+        assert toks.shape[1] + max_new_tokens <= self.max_len, (
+            toks.shape, max_new_tokens, self.max_len)
+        out_t, out_l, out_s = self._beam(
+            self.params, jnp.asarray(toks), jnp.asarray(mask), num_beams,
+            max_new_tokens, -1 if eos_id is None else eos_id)
+        out_t = np.asarray(out_t)
+        out_l = np.asarray(out_l)
+        out_s = np.asarray(out_s, np.float64)
+        res = []
+        for b in range(len(prompts)):
+            seqs = [out_t[b, k, : out_l[b, k]].tolist()
+                    for k in range(num_beams)]
+            scores = out_s[b]
+            e = np.exp(scores - scores.max())
+            res.append((seqs, scores, e / e.sum()))
+        return res
+
     def beam_search(self, prompt_tokens: List[int], num_beams: int = 3,
                     max_new_tokens: int = 128,
                     eos_id: Optional[int] = None
                     ) -> Tuple[List[List[int]], np.ndarray, np.ndarray]:
-        """Returns (sequences, scores, norm_scores): num_beams generated
-        token lists, their mean log-probs, and softmax-normalised scores."""
-        Lp = len(prompt_tokens)
-        tokens = jnp.asarray([prompt_tokens], jnp.int32)
-        caches = self.model.init_kv_cache(1, self.max_len)
-        logits, caches = self._prefill(self.params, tokens, caches)
-        logprobs = jax.nn.log_softmax(logits[0, Lp - 1])
-        top = jnp.argsort(-logprobs)[:num_beams]
-        beam_scores = np.asarray(logprobs[top], np.float64)
-        beams = [[int(t)] for t in np.asarray(top)]
-        finished: List[Tuple[List[int], float]] = []
-        # replicate cache across beams
-        caches = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, num_beams, axis=0), caches)
-        index = Lp
-        for _ in range(max_new_tokens - 1):
-            last = jnp.asarray([[b[-1]] for b in beams], jnp.int32)
-            logits, caches = self._step(self.params, last, caches,
-                                        jnp.asarray(index, jnp.int32))
-            lp = np.asarray(jax.nn.log_softmax(logits, axis=-1), np.float64)
-            cand_scores = beam_scores[:, None] + lp      # [n_beams, V]
-            flat = cand_scores.reshape(-1)
-            order = np.argsort(-flat)[: 2 * num_beams]
-            new_beams, new_scores, origins = [], [], []
-            for idx in order:
-                b, tok = divmod(int(idx), lp.shape[-1])
-                seq = beams[b] + [tok]
-                if eos_id is not None and tok == eos_id:
-                    finished.append((seq, flat[idx] / len(seq)))
-                    continue
-                new_beams.append(seq)
-                new_scores.append(flat[idx])
-                origins.append(b)
-                if len(new_beams) == num_beams:
-                    break
-            if not new_beams or len(finished) >= num_beams:
-                break
-            beams = new_beams
-            beam_scores = np.asarray(new_scores)
-            reorder = jnp.asarray(origins, jnp.int32)
-            caches = jax.tree_util.tree_map(lambda x: x[reorder], caches)
-            index += 1
-        for b, s in zip(beams, beam_scores):
-            finished.append((b, s / len(b)))
-        finished.sort(key=lambda x: -x[1])
-        finished = finished[:num_beams]
-        seqs = [f[0] for f in finished]
-        scores = np.asarray([f[1] for f in finished])
-        e = np.exp(scores - scores.max())
-        return seqs, scores, e / e.sum()
+        return self.beam_search_batch([prompt_tokens], num_beams,
+                                      max_new_tokens, eos_id)[0]

@@ -73,14 +73,19 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
-def _reference_attention(q, k, v, causal_offset):
-    """q [B,L,H,D], k/v [B,S,H,D]; causal mask with kv offset."""
+def _reference_attention(q, k, v, causal_offset, kv_valid=None):
+    """q [B,L,H,D], k/v [B,S,H,D]; causal mask with kv offset.
+
+    kv_valid [B, S] (optional): 0 marks kv slots that must never be attended
+    (left-padded prompt positions in batched decoding)."""
     B, L, H, D = q.shape
     S = k.shape[1]
     scores = jnp.einsum("blhd,bshd->bhls", q, k) / jnp.sqrt(D).astype(q.dtype)
     q_pos = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0) + causal_offset
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (L, S), 1)
     mask = (k_pos <= q_pos)[None, None]
+    if kv_valid is not None:
+        mask = jnp.logical_and(mask, (kv_valid > 0)[:, None, None, :])
     scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhls,bshd->blhd", probs, v)
@@ -90,7 +95,8 @@ class Attention(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None,
+                 kv_valid=None):
         cfg = self.cfg
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -119,14 +125,14 @@ class Attention(nn.Module):
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
 
-        use_flash = (cfg.use_flash and kv_cache is None
+        use_flash = (cfg.use_flash and kv_cache is None and kv_valid is None
                      and jax.default_backend() == "tpu"
                      and L % 128 == 0 and D % 128 == 0)
         if use_flash:
             from .flash_attention import flash_attention
             out = flash_attention(q, k_all, v_all)
         else:
-            out = _reference_attention(q, k_all, v_all, offset)
+            out = _reference_attention(q, k_all, v_all, offset, kv_valid)
         out = nn.DenseGeneral(cfg.dim, axis=(-2, -1), use_bias=False,
                               name="o_proj")(out)
         return out, new_cache
@@ -148,10 +154,11 @@ class Block(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None,
+                 kv_valid=None):
         attn_out, new_cache = Attention(self.cfg, name="attn")(
             RMSNorm(self.cfg.norm_eps, name="input_norm")(x),
-            cos, sin, kv_cache, cache_index)
+            cos, sin, kv_cache, cache_index, kv_valid)
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.norm_eps, name="post_attn_norm")(x))
@@ -164,9 +171,11 @@ class LlamaLM(nn.Module):
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
                  positions: Optional[jnp.ndarray] = None,
-                 kv_caches=None, cache_index=None):
+                 kv_caches=None, cache_index=None, kv_valid=None):
         """tokens [B, L] -> logits [B, L, V]. With kv_caches (list of per-layer
-        (k, v) buffers) performs incremental decoding at cache_index."""
+        (k, v) buffers) performs incremental decoding at cache_index.
+        kv_valid [B, S]: optional validity mask over kv slots (0 = never
+        attend; used for left-padded batched decoding)."""
         cfg = self.cfg
         B, L = tokens.shape
         if positions is None:
@@ -183,7 +192,7 @@ class LlamaLM(nn.Module):
         for i in range(cfg.n_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, new_cache = Block(cfg, name=f"layer_{i}")(
-                x, cos, sin, cache_i, cache_index)
+                x, cos, sin, cache_i, cache_index, kv_valid)
             new_caches.append(new_cache)
         x = RMSNorm(cfg.norm_eps, name="final_norm")(x)
         logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(

@@ -162,3 +162,28 @@ def test_ingest_cache_roundtrip(tmp_path):
     r4 = load_split(str(path), vocab, data_name="webqsp",
                     use_inverse_relation=True, use_self_loop=True)
     assert len(r4[0].heads) > len(r3[0].heads)
+
+
+def test_layout_shapes_depend_only_on_buckets():
+    """Two batches in the same (E, F) bucket must produce byte-identical
+    layout SHAPES — shape = f(bucket) only, or the jitted step recompiles
+    per batch (minutes per step through the remote-compile tunnel)."""
+    import numpy as np
+
+    from gnn_rag_tpu.utils.synthetic import random_records
+
+    rng = np.random.default_rng(3)
+    ds = random_records(rng, n_questions=12, n_entities_max=24,
+                        n_facts_max=64, num_relation=8,
+                        num_entity_global=800)
+    b1 = ds.make_batch([0, 1, 2, 3], build_layout=True)
+    b2 = ds.make_batch([4, 7, 9, 11], build_layout=True)
+    assert b1.heads.shape == b2.heads.shape
+    for d1, d2 in ((b1.layout.fwd, b2.layout.fwd),
+                   (b1.layout.inv, b2.layout.inv)):
+        assert d1.scatter.shape == d2.scatter.shape
+        assert d1.chunk_tiles.shape == d2.chunk_tiles.shape
+        assert d1.perm.shape == d2.perm.shape
+    E = b1.entity_gids.shape[1]
+    F = b1.heads.shape[1]
+    assert b1.layout.fwd.scatter.shape[1] == (F // 128 + E // 128) * 128
