@@ -26,11 +26,16 @@ UNREACHED = jnp.int32(2**30)
 @functools.partial(jax.jit, static_argnames=("num_entities", "max_hops"))
 def bfs_levels(heads: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
                src_onehot: jnp.ndarray, *, num_entities: int,
-               max_hops: int = 6) -> jnp.ndarray:
+               max_hops: int | None = None) -> jnp.ndarray:
     """heads/tails: int32 [B, F] (already symmetrised for undirected graphs);
     fact_mask: [B, F]; src_onehot: [B, S, E] one-hot source sets.
-    Returns dist int32 [B, S, E] with UNREACHED where not reached within
-    max_hops."""
+    Returns dist int32 [B, S, E] with UNREACHED where not reachable.
+
+    With ``max_hops=None`` (default) the frontier expansion runs UNBOUNDED
+    inside a ``lax.while_loop`` until no new node is reached (matching the
+    reference's unbounded nx shortest paths, graph_utils.py:49-75) — the
+    iteration count is data-dependent but the shapes are static, so there is
+    exactly one compilation either way."""
     B, S, E = src_onehot.shape
     reach = src_onehot > 0                                    # [B, S, E]
     dist = jnp.where(reach, 0, UNREACHED).astype(jnp.int32)
@@ -43,9 +48,14 @@ def bfs_levels(heads: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
         return x.reshape(B * S, -1)
 
     h_f, t_f, m_f = flat(heads_b), flat(tails_b), flat(mask_b)
+    bound = max_hops if max_hops is not None else E  # diameter <= E - 1
 
-    def body(carry, hop):
-        reach, dist = carry
+    def cond(carry):
+        _, _, hop, changed = carry
+        return jnp.logical_and(hop < bound, changed)
+
+    def body(carry):
+        reach, dist, hop, _ = carry
         r = reach.reshape(B * S, E)
         # frontier values at edge sources -> accumulate at edge targets
         at_src = jnp.take_along_axis(r.astype(jnp.float32), h_f, axis=1) * m_f
@@ -53,8 +63,9 @@ def bfs_levels(heads: jnp.ndarray, tails: jnp.ndarray, fact_mask: jnp.ndarray,
         new = hit & ~r
         r = r | hit
         d = jnp.where(new, hop + 1, dist.reshape(B * S, E))
-        return (r.reshape(B, S, E), d.reshape(B, S, E)), None
+        return (r.reshape(B, S, E), d.reshape(B, S, E), hop + 1,
+                jnp.any(new))
 
-    (reach, dist), _ = jax.lax.scan(body, (reach, dist),
-                                    jnp.arange(max_hops, dtype=jnp.int32))
+    reach, dist, _, _ = jax.lax.while_loop(
+        cond, body, (reach, dist, jnp.int32(0), jnp.bool_(True)))
     return dist

@@ -9,8 +9,8 @@ which is output-bound.
 
 Semantics match graph_utils.get_truth_paths: undirected, parallel edges
 collapse to the last relation, src == dst yields a zero-length path,
-unreachable pairs are skipped. Paths longer than max_hops are missed — pick
-max_hops >= the dataset's diameter of interest (CWQ needs ~4).
+unreachable pairs are skipped. The BFS runs UNBOUNDED by default (to the
+graph's diameter, like nx.all_shortest_paths); pass max_hops to cap it.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from .graph_utils import Triple, build_graph
 
 
 class BatchedPathExtractor:
-    def __init__(self, max_hops: int = 4, max_sources: int = 4):
+    def __init__(self, max_hops: int | None = None, max_sources: int = 4):
         self.max_hops = max_hops
         self.max_sources = max_sources
 

@@ -33,7 +33,7 @@ class RetrieverService:
     def __init__(self, cfg: Config, vocab: Vocab, params, *,
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
                  question_encoder: Optional[Callable] = None,
-                 tokenizer=None, max_hops: int = 4,
+                 tokenizer=None, max_hops: int | None = None,
                  entity_buckets=(256, 512, 1024, 2048),
                  fact_buckets=(1024, 2048, 4096, 8192, 16384)):
         self.cfg = cfg

@@ -16,10 +16,35 @@ def test_flash_attention_interpret_matches_reference():
     q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
-    out_flash = fa._flash_fwd_impl(q, k, v, interpret=True)
+    out_flash, lse = fa._flash_fwd_impl(q, k, v, interpret=True)
     out_ref = fa._reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-4)
+    # lse matches the dense logsumexp of the causal scores
+    import jax
+    scores = np.einsum("blhd,bshd->bhls", q, k) / np.sqrt(q.shape[-1])
+    mask = np.tril(np.ones((q.shape[1], q.shape[1]), bool))
+    scores = np.where(mask[None, None], scores, -1e30)
+    ref_lse = np.asarray(jax.nn.logsumexp(scores, axis=-1))  # [B, H, L]
+    got = np.asarray(lse).reshape(q.shape[0], q.shape[2], q.shape[1])
+    np.testing.assert_allclose(got, ref_lse, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_backward_matches_reference():
+    """The Pallas dq/dk/dv kernels (block recompute from lse) must equal the
+    dense-recompute autodiff oracle."""
+    rng = np.random.default_rng(1)
+    B, L, H, D = 2, 256, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    o, lse = fa._flash_fwd_impl(q, k, v, interpret=True)
+    dq, dk, dv = fa._flash_bwd_impl(q, k, v, o, lse, g, interpret=True)
+    rdq, rdk, rdv = fa.flash_attention_reference_bwd(q, k, v, g)
+    for got, ref, name in ((dq, rdq, "dq"), (dk, rdk, "dk"), (dv, rdv, "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
 
 
 @pytest.fixture(scope="module")

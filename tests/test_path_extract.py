@@ -50,3 +50,19 @@ def test_batched_extractor_matches_oracle(seed):
             [h for h in q["q_entity"] if h in g], q["cand"], g)
         key = lambda ps: sorted(text_utils.path_to_string(p) for p in ps)
         assert key(paths) == key(exp)
+
+
+def test_unbounded_bfs_reaches_deep_paths():
+    """A 10-hop chain is found without any max_hops cap (reference
+    nx.all_shortest_paths is unbounded, graph_utils.py:49-75)."""
+    from gnn_rag_tpu.rag.path_extract import BatchedPathExtractor
+
+    chain = [[f"n{i}", f"r{i}", f"n{i+1}"] for i in range(10)]
+    q = {"graph": chain, "q_entity": ["n0"], "cand": ["n10"]}
+    paths = BatchedPathExtractor().extract([q])[0]
+    assert len(paths) == 1
+    assert len(paths[0]) == 10
+    assert paths[0][0][0] == "n0" and paths[0][-1][2] == "n10"
+
+    # a cap still caps
+    assert BatchedPathExtractor(max_hops=4).extract([q])[0] == []
