@@ -10,7 +10,13 @@ with its sparse matrices pre-built OUTSIDE the timed region (charitable: the
 reference actually rebuilds them per batch, dataset_load.py:473-527).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "subgraphs/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "subgraphs/sec", "vs_baseline": N,
+   "extra": {...}}
+
+"extra" carries the secondary rows: the TRAINING step at the same shapes, a
+CWQ-like larger/skewed shape (both fwd + train), achieved FLOP/s and MFU
+from XLA's own cost analysis, batched greedy-decode tokens/sec, and
+path-extraction questions/sec for the three get_truth_paths backends.
 """
 
 from __future__ import annotations
@@ -33,45 +39,180 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu() -> float:
+# v5e peak: 197 TFLOP/s bf16 / ~98.5 TFLOP/s fp32 (MXU half rate)
+PEAK_FLOPS_BF16 = 197e12
+PEAK_FLOPS_F32 = 98.5e12
+
+
+def _time_best(fn, args, batch_size, n_iter=20, windows=3):
+    """Best-of-windows throughput (the chip is shared; best window measures
+    the engine rather than the neighbours). Returns (items/s, s/call)."""
+    import jax
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * n_iter / dt)
+    return best, batch_size / best
+
+
+def _build(shape_name, b, e, f, num_iter, num_ins, num_gnn):
     import jax
 
     from gnn_rag_tpu.config import ModelConfig
     from gnn_rag_tpu.models import ReaRev
-    from gnn_rag_tpu.utils.synthetic import random_graph_batch, random_rel_hidden
+    from gnn_rag_tpu.utils.synthetic import (random_graph_batch,
+                                             random_rel_hidden)
 
     rng = np.random.default_rng(0)
-    batch = random_graph_batch(rng, batch_size=B, n_entities=E, n_facts=F,
+    batch = random_graph_batch(rng, batch_size=b, n_entities=e, n_facts=f,
                                num_relation=NUM_REL, word_dim=WORD_DIM,
                                q_len=16, build_layout=True)
     rel_h, rel_hinv, rel_mask = random_rel_hidden(rng, NUM_REL + 1, REL_LEN,
                                                   WORD_DIM)
-    cfg = ModelConfig(entity_dim=D, num_iter=NUM_ITER, num_ins=NUM_INS,
-                      num_gnn=NUM_GNN, lm="sbert", linear_dropout=0.2)
+    cfg = ModelConfig(entity_dim=D, num_iter=num_iter, num_ins=num_ins,
+                      num_gnn=num_gnn, lm="sbert", linear_dropout=0.2)
     model = ReaRev(cfg=cfg, num_entity=100_000, num_relation=NUM_REL)
-    params = model.init(jax.random.PRNGKey(0), batch,
-                        rel_h, rel_hinv, rel_mask)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
+                                 rel_h, rel_hinv, rel_mask)
     batch = jax.device_put(batch)
     args = jax.device_put((rel_h, rel_hinv, rel_mask))
+    return model, params, batch, args
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b, *args))
-    out = fwd(params, batch)
-    jax.block_until_ready(out)
-    log("tpu: compiled; timing...")
-    # the chip is shared; take the best of several windows to measure the
-    # engine rather than the neighbours
-    best = 0.0
-    for _ in range(3):
-        n_iter = 20
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fwd(params, batch)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = max(best, B * n_iter / dt)
-        log(f"tpu window: {1e3 * dt / n_iter:.2f} ms/batch")
-    log(f"tpu best: {best:.1f} subgraphs/s")
-    return best
+
+def bench_shape(shape_name, b, e, f, num_iter, num_ins, num_gnn,
+                train: bool = False):
+    """Returns dict with fwd (and train) subgraphs/s + achieved FLOP/s/MFU."""
+    import jax
+    import optax
+
+    model, params, batch, args = _build(shape_name, b, e, f, num_iter,
+                                        num_ins, num_gnn)
+    out = {}
+
+    fwd = jax.jit(lambda p, bt: model.apply(p, bt, *args))
+    compiled = fwd.lower(params, batch).compile()
+    flops = compiled.cost_analysis().get("flops", 0.0)
+    jax.block_until_ready(fwd(params, batch))
+    log(f"{shape_name}: fwd compiled ({flops / 1e9:.1f} GFLOP/call); timing")
+    sgps, sec = _time_best(fwd, (params, batch), b)
+    out["fwd_subgraphs_per_s"] = round(sgps, 1)
+    out["fwd_ms"] = round(1e3 * sec, 2)
+    if flops:
+        achieved = flops / sec
+        out["fwd_achieved_tflops"] = round(achieved / 1e12, 2)
+        out["fwd_mfu_vs_f32_peak"] = round(achieved / PEAK_FLOPS_F32, 4)
+    log(f"{shape_name}: fwd {sgps:.1f} sg/s "
+        f"({out.get('fwd_achieved_tflops', 0)} TFLOP/s)")
+
+    if train:
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        rngk = jax.random.PRNGKey(1)
+
+        def train_step(p, o, bt):
+            def loss_fn(pp):
+                loss, _, _ = model.apply(pp, bt, *args, training=True,
+                                         rngs={"dropout": rngk})
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, upd), o, loss
+
+        ts = jax.jit(train_step)
+        compiled_t = ts.lower(params, opt_state, batch).compile()
+        tflops = compiled_t.cost_analysis().get("flops", 0.0)
+        params, opt_state, _ = ts(params, opt_state, batch)
+        jax.block_until_ready(params)
+        log(f"{shape_name}: train compiled ({tflops / 1e9:.1f} GFLOP/step)")
+
+        sgps, sec = _time_best(lambda: ts(params, opt_state, batch)[2],
+                               (), b, n_iter=10)
+        out["train_subgraphs_per_s"] = round(sgps, 1)
+        out["train_ms"] = round(1e3 * sec, 2)
+        if tflops:
+            achieved = tflops / sec
+            out["train_achieved_tflops"] = round(achieved / 1e12, 2)
+            out["train_mfu_vs_f32_peak"] = round(achieved / PEAK_FLOPS_F32, 4)
+        log(f"{shape_name}: train {sgps:.1f} sg/s")
+    return out
+
+
+def bench_decode():
+    """Batched greedy decode tokens/s (jitted device-side loop)."""
+    import jax
+
+    from gnn_rag_tpu.llm_tpu.generate import Decoder
+    from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+
+    cfg = LlamaConfig(vocab_size=32000, dim=2048, n_layers=4, n_heads=16,
+                      n_kv_heads=16, intermediate=5504, max_seq_len=1024,
+                      dtype="bfloat16")
+    import jax.numpy as jnp
+    model = LlamaLM(cfg)
+    toks = np.arange(1, 129).tolist()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((8, 128), jnp.int32))
+    dec = Decoder(model, params, max_len=512)
+    prompts = [toks[: 64 + (i % 16)] for i in range(8)]
+    new = 128
+    dec.greedy_batch(prompts, max_new_tokens=new)   # compile
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        dec.greedy_batch(prompts, max_new_tokens=new)
+    dt = time.perf_counter() - t0
+    tps = len(prompts) * new * n / dt
+    log(f"decode: {tps:.0f} tokens/s (B8, 2048d x 4L bf16, greedy)")
+    return round(tps, 1)
+
+
+def bench_paths():
+    """get_truth_paths backends, CWQ-size graphs: questions/sec."""
+    rng = np.random.default_rng(1)
+    B_q, n_ent, n_edge = 32, 2000, 8000
+    questions = []
+    for _ in range(B_q):
+        names = [f"m.{i}" for i in range(n_ent)]
+        h = rng.integers(0, n_ent, n_edge)
+        t = rng.integers(0, n_ent, n_edge)
+        r = rng.integers(0, 200, n_edge)
+        graph = [[names[a], f"rel.r.{c}", names[b]]
+                 for a, b, c in zip(h, t, r)]
+        questions.append({"graph": graph, "q_entity": [names[0]],
+                          "cand": [names[i] for i in rng.integers(
+                              0, n_ent, 8)]})
+    res = {}
+
+    from gnn_rag_tpu.rag.graph_utils import build_graph, get_truth_paths
+    t0 = time.perf_counter()
+    for q in questions:
+        g = build_graph(q["graph"])
+        get_truth_paths(q["q_entity"], q["cand"], g)
+    res["python_q_per_s"] = round(B_q / (time.perf_counter() - t0), 2)
+
+    try:
+        from gnn_rag_tpu.native import available, truth_paths_native
+        if available():
+            t0 = time.perf_counter()
+            for q in questions:
+                truth_paths_native(q["graph"], q["q_entity"], q["cand"])
+            res["cpp_q_per_s"] = round(B_q / (time.perf_counter() - t0), 2)
+    except Exception as exc:  # keep the bench alive without the .so
+        log("cpp path backend unavailable:", exc)
+
+    from gnn_rag_tpu.rag.path_extract import BatchedPathExtractor
+    ex = BatchedPathExtractor()
+    ex.extract(questions[:2])    # compile
+    t0 = time.perf_counter()
+    ex.extract(questions)
+    res["device_q_per_s"] = round(B_q / (time.perf_counter() - t0), 2)
+    log(f"path extraction (B{B_q}, E{n_ent}, F{n_edge}):", res)
+    return res
 
 
 def bench_torch_reference_style() -> float:
@@ -146,7 +287,24 @@ def bench_torch_reference_style() -> float:
 
 
 def main():
-    tpu = bench_tpu()
+    extra = {}
+    webqsp = bench_shape("webqsp", B, E, F, NUM_ITER, NUM_INS, NUM_GNN,
+                         train=True)
+    extra["webqsp_B16_E2048_F8192"] = webqsp
+    # CWQ-like: larger skewed subgraphs, CWQ hyperparameters
+    # (num_iter 2 / num_ins 3, scripts/rearev_cwq.sh:13-14)
+    extra["cwq_B8_E4096_F16384"] = bench_shape("cwq", 8, 4096, 16384,
+                                               2, 3, 3, train=True)
+    try:
+        extra["greedy_decode_tokens_per_s"] = bench_decode()
+    except Exception as exc:
+        log("decode bench failed:", exc)
+    try:
+        extra["path_extraction"] = bench_paths()
+    except Exception as exc:
+        log("path bench failed:", exc)
+
+    tpu = webqsp["fwd_subgraphs_per_s"]
     base = bench_torch_reference_style()
     print(json.dumps({
         "metric": "ReaRev retrieval throughput, WebQSP-like shapes "
@@ -155,6 +313,7 @@ def main():
         "value": round(tpu, 2),
         "unit": "subgraphs/sec",
         "vs_baseline": round(tpu / base, 2),
+        "extra": extra,
     }))
 
 
