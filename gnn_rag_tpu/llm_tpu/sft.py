@@ -16,6 +16,7 @@ DataCollatorForCompletionOnlyLM + deepspeed ZeRO-3 launch
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 from dataclasses import dataclass
@@ -93,6 +94,10 @@ class SFTConfig:
     seed: int = 0
     dp: int = 1
     tp: int = 1
+    # experiment reporting, HF-Trainer style (llm/scripts/train.sh:29
+    # passes --report_to wandb): "wandb" logs step/loss/lr if the wandb
+    # package is importable, anything else (or wandb absent) is a no-op.
+    report_to: str = "none"
 
 
 class SFTTrainer:
@@ -133,21 +138,58 @@ class SFTTrainer:
             return params, opt_state, loss
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._reporter = self._init_reporter()
+
+    def _init_reporter(self):
+        if self.cfg.report_to != "wandb":
+            return None
+        try:
+            import wandb
+        except ImportError:
+            print("report_to=wandb requested but wandb is not installed; "
+                  "continuing without reporting")
+            return None
+        wandb.init(project=os.environ.get("WANDB_PROJECT", "gnn-rag-tpu"),
+                   config=dataclasses.asdict(self.cfg), resume="allow")
+        return wandb
 
     # ------------------------------------------------------------------
+    def _batch_indices(self, N: int, step: int) -> np.ndarray:
+        """Epoch-shuffled sampling WITHOUT replacement (HF Trainer epoch
+        semantics): the example stream is the concatenation of per-epoch
+        permutations, each derived deterministically from (seed, epoch), so
+        every example is seen exactly once per N/batch_size steps and a
+        resumed run continues the same stream."""
+        B = self.cfg.batch_size
+        pos = step * B
+        idx = np.empty(B, dtype=np.int64)
+        got = 0
+        while got < B:
+            epoch, off = divmod(pos + got, N)
+            cache = getattr(self, "_perm_cache", (None, None))
+            if cache[0] == (epoch, N):
+                perm = cache[1]
+            else:
+                perm = np.random.default_rng(
+                    (self.cfg.seed, epoch)).permutation(N)
+                self._perm_cache = ((epoch, N), perm)
+            take = min(B - got, N - off)
+            idx[got:got + take] = perm[off:off + take]
+            got += take
+        return idx
+
     def train(self, tokens: np.ndarray, loss_mask: np.ndarray,
               steps: Optional[int] = None, log_every: int = 50,
               resume: bool = True):
-        """tokens/loss_mask: [N, L] host arrays; samples cycled per step."""
+        """tokens/loss_mask: [N, L] host arrays; epoch-shuffled batches."""
         cfg = self.cfg
         if resume:
             self.maybe_resume()
         N = tokens.shape[0]
-        rng = np.random.default_rng(cfg.seed + self.step)
         steps = steps if steps is not None else cfg.total_steps
         losses = []
         while self.step < steps:
-            idx = rng.integers(0, N, cfg.batch_size)
+            idx = self._batch_indices(N, self.step)
             batch_tok = jnp.asarray(tokens[idx])
             batch_mask = jnp.asarray(loss_mask[idx])
             if self.mesh is not None:
@@ -159,6 +201,9 @@ class SFTTrainer:
                 self.params, self.opt_state, batch_tok, batch_mask)
             losses.append(float(loss))
             self.step += 1
+            if self._reporter is not None:
+                self._reporter.log({"train/loss": losses[-1],
+                                    "train/step": self.step})
             if self.step % log_every == 0:
                 print(f"step {self.step}: loss {np.mean(losses[-log_every:]):.4f}")
             if self.step % cfg.save_every == 0:

@@ -82,6 +82,28 @@ def test_sft_overfits_and_resumes(tmp_path):
     assert trainer2.step == 60
 
 
+def test_sft_epoch_sampling_without_replacement(tmp_path):
+    """One pass over N/batch_size steps must touch every example exactly
+    once (HF Trainer epoch semantics, not iid sampling with replacement),
+    and a resumed trainer must continue the same deterministic stream."""
+    cfg = SFTConfig(output_dir=str(tmp_path / "sft"), total_steps=10,
+                    batch_size=4, seed=3)
+    trainer = SFTTrainer(LlamaConfig.tiny(vocab_size=32), cfg)
+    N = 12  # 3 steps per epoch
+    epoch0 = np.concatenate([trainer._batch_indices(N, s) for s in range(3)])
+    assert sorted(epoch0.tolist()) == list(range(N))
+    epoch1 = np.concatenate([trainer._batch_indices(N, s) for s in range(3, 6)])
+    assert sorted(epoch1.tolist()) == list(range(N))
+    assert epoch0.tolist() != epoch1.tolist()  # reshuffled between epochs
+    # straddling batch (N not divisible by B) still covers 2 epochs exactly
+    covered = np.concatenate([trainer._batch_indices(10, s) for s in range(5)])
+    assert sorted(covered.tolist()) == sorted(list(range(10)) * 2)
+    # deterministic resume: a fresh trainer reproduces step 4's batch
+    trainer2 = SFTTrainer(LlamaConfig.tiny(vocab_size=32), cfg)
+    np.testing.assert_array_equal(trainer2._batch_indices(N, 4),
+                                  trainer._batch_indices(N, 4))
+
+
 def test_resize_embeddings():
     import jax
     from gnn_rag_tpu.llm_tpu.model import LlamaLM
