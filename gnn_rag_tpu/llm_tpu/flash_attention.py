@@ -38,13 +38,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
     S = k_ref.shape[1]
     D = q.shape[-1]
     n_kb = S // block_k
+    # fp32 inputs get exact MXU passes; bf16 stays native single-pass
+    precision = (jax.lax.Precision.HIGHEST
+                 if q_ref.dtype == jnp.float32 else None)
 
     def body(kb, carry):
         acc, m, l = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]          # [BK, D]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=precision) * scale
         q_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                  + qb * block_q)
         k_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -56,7 +60,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
         return acc, m_new, l_new
 
     # causal: only k-blocks up to (and including) this q-block do work
@@ -112,12 +116,15 @@ def _dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref, *,
     lse_rep = lse_ref[0]                           # [BQ, LANES] replicated
     delta_rep = delta_ref[0]
     D = q.shape[-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if q_ref.dtype == jnp.float32 else None)
 
     def body(kb, dq):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=precision) * scale
         q_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                  + qb * block_q)
         k_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -125,10 +132,12 @@ def _dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref, *,
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse_rep)                   # masked -> exp(NEG) = 0
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
         ds = p * (dp - delta_rep) * scale
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                                        precision=precision)
 
     dq = jnp.zeros((block_q, D), jnp.float32)
     dq = jax.lax.fori_loop(0, qb + 1, body, dq)
@@ -143,6 +152,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     L = q_ref.shape[1]
     D = k.shape[-1]
     n_qb = L // block_q
+    precision = (jax.lax.Precision.HIGHEST
+                 if k_ref.dtype == jnp.float32 else None)
 
     def body(qb, carry):
         dk, dv = carry
@@ -151,7 +162,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         lse_rep = lse_ref[0, pl.ds(qb * block_q, block_q), :]
         delta_rep = delta_ref[0, pl.ds(qb * block_q, block_q), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=precision) * scale
         q_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                  + qb * block_q)
         k_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -160,12 +172,15 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         p = jnp.exp(s - lse_rep)                   # [BQ, BK]
         # dv[bk, d] = sum_q p[q, bk] * do[q, d]
         dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                      precision=precision)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
         ds = p * (dp - delta_rep) * scale
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                      precision=precision)
         return dk, dv
 
     dk = jnp.zeros((block_k, D), jnp.float32)

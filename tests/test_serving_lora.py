@@ -1,5 +1,7 @@
 """Local OpenAI-protocol serving + LoRA adapters."""
 
+import contextlib
+
 import numpy as np
 import optax
 import pytest
@@ -57,3 +59,46 @@ def test_lora_no_op_at_init_and_trains():
                                      jnp.asarray(mask))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_lora_composes_with_tp_mesh():
+    """LoRA adapter training on TP/DP-sharded base params (r1 gap: each was
+    tested separately). Base weights live sharded on a dp2 x tp4 mesh; the
+    adapters stay replicated; the merged W + AB step must run under GSPMD
+    and match the unsharded LoRA step numerically."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_rag_tpu.llm_tpu.lora import init_lora, lora_train_step_factory
+    from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+    from gnn_rag_tpu.llm_tpu.sharding import shard_llm_params
+    from gnn_rag_tpu.parallel.mesh import make_mesh
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    model = LlamaLM(cfg)
+    tokens = jnp.asarray(np.arange(12)[None, :] % 64, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    lora0 = init_lora(params, jax.random.PRNGKey(1), r=4)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, 60, (8, 16)).astype(np.int32))
+    mask = jnp.ones((8, 16), jnp.float32)
+
+    def run(base_params, mesh):
+        tx = optax.adam(1e-2)
+        lora = jax.tree_util.tree_map(jnp.copy, lora0)
+        opt_state = tx.init(lora)
+        step = lora_train_step_factory(model, base_params, tx, alpha=16, r=4)
+        losses = []
+        ctx = mesh if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            for _ in range(5):
+                lora, opt_state, loss = step(lora, opt_state, toks, mask)
+                losses.append(float(loss))
+        return losses
+
+    ref_losses = run(params, None)
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_llm_params(mesh, params)
+    tp_losses = run(sharded, mesh)
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=1e-4, atol=1e-5)
+    assert tp_losses[-1] < tp_losses[0], tp_losses

@@ -1,0 +1,114 @@
+"""Mosaic-compiled kernel value/grad parity on the real TPU chip.
+
+CI (tests/) exercises these kernels in interpret mode on CPU; this module is
+the hardware truth check: the same fused gate-scatter and flash-attention
+kernels, compiled by Mosaic and executed on the chip, must match the XLA
+reference formulations to float32 tolerance. Run: python -m pytest tests_tpu/ -q
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_rag_tpu.data.kernel_layout import build_kernel_layout
+from gnn_rag_tpu.ops import pallas_mp as pm
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(0)
+    B, F, E, D, J = 2, 1500, 512, 64, 2
+    heads = rng.integers(0, E, (B, F)).astype(np.int32)
+    tails = rng.integers(0, E, (B, F)).astype(np.int32)
+    rels = np.zeros((B, F), np.int32)
+    mask = (rng.random((B, F)) > 0.1).astype(np.float32)
+    kl = build_kernel_layout(heads, rels, tails, mask, E, pad_rel=1)
+    Fp = kl.fwd.scatter.shape[1]
+    fact_rel = jnp.asarray(rng.standard_normal((B, Fp, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1)
+    ins = jnp.asarray(rng.standard_normal((B, J, D)).astype(np.float32))
+    prior = jnp.asarray((rng.random((B, Fp))
+                         * (kl.fwd.scatter >= 0)).astype(np.float32))
+    return (fact_rel, w, bias, ins, prior, jnp.asarray(kl.fwd.scatter),
+            jnp.asarray(kl.fwd.chunk_starts), jnp.asarray(kl.fwd.chunk_tiles),
+            E)
+
+
+def test_fused_fwd_v1_on_chip(case):
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+    got = jax.jit(lambda *a: pm.fused_gate_scatter(*a, ct, E, True))(
+        fact_rel, w, bias, ins, prior, sc)
+    with jax.default_matmul_precision("highest"):  # match kernel fp32
+        want = pm.fused_gate_scatter_reference(fact_rel, w, bias, ins,
+                                               prior, sc, ct, E, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_fwd_v2_on_chip(case):
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+    got = jax.jit(lambda *a: pm.fused_gate_scatter_v2(*a, cs, ct, E, True))(
+        fact_rel, w, bias, ins, prior, sc)
+    with jax.default_matmul_precision("highest"):
+        want = pm.fused_gate_scatter_reference(fact_rel, w, bias, ins,
+                                               prior, sc, ct, E, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bwd_on_chip(case):
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+
+    def loss_pallas(fr, wi, bi, ii, pri):
+        out = pm.fused_gate_scatter_v2(fr, wi, bi, ii, pri, sc, cs, ct, E,
+                                       True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(fr, wi, bi, ii, pri):
+        out = pm.fused_gate_scatter_reference(fr, wi, bi, ii, pri, sc, ct, E,
+                                              True)
+        return jnp.sum(jnp.sin(out))
+
+    g_pallas = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4)))(
+        fact_rel, w, bias, ins, prior)
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            fact_rel, w, bias, ins, prior)
+    for name, a, b in zip(["dfact_rel", "dw", "dbias", "dins", "dprior"],
+                          g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_scatter_mm_on_chip(case):
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+    vals = fact_rel * prior[..., None]
+    got = jax.jit(lambda v: pm.scatter_mm(v, sc, ct, E))(vals)
+    want = pm.scatter_mm_reference(vals, sc, ct, E)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_fwd_bwd_on_chip():
+    from gnn_rag_tpu.llm_tpu.flash_attention import (
+        _reference, flash_attention, flash_attention_reference_bwd)
+    rng = np.random.default_rng(1)
+    B, L, H, D = 1, 512, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+    got = jax.jit(flash_attention)(q, k, v)
+    with jax.default_matmul_precision("highest"):
+        want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    g = jnp.asarray(rng.standard_normal(got.shape).astype(np.float32))
+    grads = jax.jit(lambda *a: jax.vjp(flash_attention, *a)[1](g))(q, k, v)
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_reference_bwd(q, k, v, g)
+    for name, a, b in zip("dq dk dv".split(), grads, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
