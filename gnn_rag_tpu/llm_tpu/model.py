@@ -32,6 +32,10 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
     use_flash: bool = True          # Pallas flash attention when shapes allow
+    remat: bool = False             # rematerialise each block's activations
+                                    # in backward (jax.checkpoint): trades
+                                    # FLOPs for HBM, required for 16k-context
+                                    # training on a single 16GB chip
 
     @property
     def head_dim(self) -> int:
@@ -126,11 +130,20 @@ class Attention(nn.Module):
             v_all = jnp.repeat(v_all, rep, axis=2)
 
         use_flash = (cfg.use_flash and kv_cache is None and kv_valid is None
-                     and jax.default_backend() == "tpu"
-                     and L % 128 == 0 and D % 128 == 0)
+                     and jax.default_backend() == "tpu" and D % 128 == 0)
         if use_flash:
             from .flash_attention import flash_attention
-            out = flash_attention(q, k_all, v_all)
+            # pad the sequence up to the kernel's 128 tile (SFT naturally
+            # produces L = max_seq_len - 1). Trailing pad KEYS sit at
+            # positions >= L, which no real causal query attends; pad QUERY
+            # rows are garbage but sliced away.
+            Lp = -(-L // 128) * 128
+            if Lp != L:
+                pad = ((0, 0), (0, Lp - L), (0, 0), (0, 0))
+                out = flash_attention(jnp.pad(q, pad), jnp.pad(k_all, pad),
+                                      jnp.pad(v_all, pad))[:, :L]
+            else:
+                out = flash_attention(q, k_all, v_all)
         else:
             out = _reference_attention(q, k_all, v_all, offset, kv_valid)
         out = nn.DenseGeneral(cfg.dim, axis=(-2, -1), use_bias=False,
@@ -171,11 +184,16 @@ class LlamaLM(nn.Module):
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
                  positions: Optional[jnp.ndarray] = None,
-                 kv_caches=None, cache_index=None, kv_valid=None):
+                 kv_caches=None, cache_index=None, kv_valid=None,
+                 return_hidden: bool = False):
         """tokens [B, L] -> logits [B, L, V]. With kv_caches (list of per-layer
         (k, v) buffers) performs incremental decoding at cache_index.
         kv_valid [B, S]: optional validity mask over kv slots (0 = never
-        attend; used for left-padded batched decoding)."""
+        attend; used for left-padded batched decoding).
+        return_hidden=True returns the final-norm hidden states [B, L, dim]
+        INSTEAD of logits (lm_head not applied) — used by the chunked
+        cross-entropy in sft.py so the [L, vocab] fp32 logits never
+        materialise at long context."""
         cfg = self.cfg
         B, L = tokens.shape
         if positions is None:
@@ -189,15 +207,23 @@ class LlamaLM(nn.Module):
         cos = cos.astype(x.dtype)
         sin = sin.astype(x.dtype)
         new_caches = []
+        # remat only pays off in training (no kv cache); decoding keeps the
+        # plain blocks so cache pytrees pass through unwrapped
+        block_cls = Block
+        if cfg.remat and kv_caches is None:
+            block_cls = nn.remat(Block, prevent_cse=False)
         for i in range(cfg.n_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
-            x, new_cache = Block(cfg, name=f"layer_{i}")(
+            x, new_cache = block_cls(cfg, name=f"layer_{i}")(
                 x, cos, sin, cache_i, cache_index, kv_valid)
             new_caches.append(new_cache)
         x = RMSNorm(cfg.norm_eps, name="final_norm")(x)
+        caches = new_caches if kv_caches is not None else None
+        if return_hidden:
+            return x, caches
         logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(
             x.astype(jnp.float32))
-        return logits, (new_caches if kv_caches is not None else None)
+        return logits, caches
 
     def init_kv_cache(self, batch_size: int, max_len: int):
         cfg = self.cfg

@@ -80,6 +80,44 @@ def pack_examples(texts: List[str], tokenize: Callable[[str], List[int]],
     return toks, mask
 
 
+def chunked_completion_loss(model, params, tokens, loss_mask,
+                            chunk: int = 2048):
+    """Completion-only NLL with the vocab projection applied per sequence
+    chunk under lax.scan + jax.checkpoint.
+
+    At long context the [L, vocab] float32 logits (and their softmax/grad
+    twins) dominate peak HBM — ~1 GB per 8k tokens at V=32000, several copies
+    live at once through autodiff. Scanning chunks of the final hidden states
+    through the lm_head keeps only [chunk, vocab] alive; the checkpoint makes
+    the backward recompute each chunk's logits instead of stashing them."""
+    hidden, _ = model.apply(params, tokens[:, :-1], return_hidden=True)
+    w = params["params"]["lm_head"]["kernel"]            # [D, V]
+    targets, mask = tokens[:, 1:], loss_mask[:, 1:]
+    B, L, D = hidden.shape
+    pad = (-L) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    n = (L + pad) // chunk
+    hidden = jnp.moveaxis(hidden.reshape(B, n, chunk, D), 1, 0)
+    targets = jnp.moveaxis(targets.reshape(B, n, chunk), 1, 0)
+    mask = jnp.moveaxis(mask.reshape(B, n, chunk), 1, 0)
+
+    @jax.checkpoint
+    def chunk_nll(h_c, t_c, m_c):
+        logits = jnp.einsum("bcd,dv->bcv", h_c.astype(jnp.float32), w)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, t_c[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * m_c)
+
+    def body(acc, xs):
+        return acc + chunk_nll(*xs), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), (hidden, targets, mask))
+    return total / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 @dataclass
 class SFTConfig:
     output_dir: str = "saved_models/sft"
@@ -98,6 +136,9 @@ class SFTConfig:
     # passes --report_to wandb): "wandb" logs step/loss/lr if the wandb
     # package is importable, anything else (or wandb absent) is a no-op.
     report_to: str = "none"
+    # >0: compute the loss with chunked_completion_loss over this many
+    # tokens at a time (long-context HBM saver); 0 = dense lm_head
+    loss_chunk: int = 0
 
 
 class SFTTrainer:
@@ -124,6 +165,9 @@ class SFTTrainer:
 
         def train_step(params, opt_state, tokens, loss_mask):
             def loss_fn(p):
+                if cfg.loss_chunk > 0:
+                    return chunked_completion_loss(self.model, p, tokens,
+                                                   loss_mask, cfg.loss_chunk)
                 logits, _ = self.model.apply(p, tokens[:, :-1])
                 targets = tokens[:, 1:]
                 mask = loss_mask[:, 1:]

@@ -134,3 +134,40 @@ def test_gen_rule_path_with_stub(tmp_path):
     rec = json.loads(open(out).readline())
     assert rec["prediction"] == [["language_spoken"], ["language_spoken"]]
     assert ["language_spoken"] in rec["ground_paths"]
+
+
+def test_chunked_loss_matches_dense():
+    """chunked_completion_loss (scan + checkpoint over vocab chunks) must
+    equal the dense lm_head loss in value AND gradient — it exists purely to
+    cut peak HBM at long context."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_rag_tpu.llm_tpu.model import LlamaLM
+    from gnn_rag_tpu.llm_tpu.sft import chunked_completion_loss
+
+    cfg = LlamaConfig.tiny(vocab_size=48)
+    model = LlamaLM(cfg)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, 48, (2, 20)), jnp.int32)
+    mask = jnp.asarray((rng.random((2, 20)) > 0.3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens[:, :-1])
+
+    def dense(p):
+        logits, _ = model.apply(p, tokens[:, :-1])
+        tgt, m = tokens[:, 1:], mask[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def chunked(p):
+        # chunk=8 does not divide L-1=19: exercises the padded tail
+        return chunked_completion_loss(model, p, tokens, mask, chunk=8)
+
+    ld, gd = jax.value_and_grad(dense)(params)
+    lc, gc = jax.value_and_grad(chunked)(params)
+    np.testing.assert_allclose(float(lc), float(ld), rtol=1e-5)
+    flat_d = jax.tree_util.tree_leaves(gd)
+    flat_c = jax.tree_util.tree_leaves(gc)
+    for a, b in zip(flat_c, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
