@@ -304,6 +304,27 @@ def main():
     except Exception as exc:
         log("path bench failed:", exc)
 
+    # trained-quality row: loaded from the reference-scale SynthQSP training
+    # artifact (scripts/eval_trained_synthqsp.py writes it after the
+    # 100-epoch CLI run on this chip) — not re-measured here to keep bench
+    # wall-time bounded
+    try:
+        import os
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "docs", "training_r02.json")
+        with open(art) as f:
+            t = json.load(f)
+        extra["trained_quality_synthqsp"] = {
+            "source": "docs/training_r02.json",
+            "test_h1": t["training"].get("test_h1"),
+            "test_f1": t["training"].get("test_f1"),
+            "answer_recall": t["retrieval"]["mean_answer_recall"],
+            "rag_hit_pct": t["rag"]["eval_result"].get("Hit"),
+            "epochs_per_hour": t["training"].get("epochs_per_hour"),
+        }
+    except Exception as exc:
+        log("no trained-quality artifact:", exc)
+
     tpu = webqsp["fwd_subgraphs_per_s"]
     base = bench_torch_reference_style()
     print(json.dumps({

@@ -104,9 +104,10 @@ class Attention(nn.Module):
         cfg = self.cfg
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-        q = nn.DenseGeneral((H, D), use_bias=False, name="q_proj")(x)
-        k = nn.DenseGeneral((KV, D), use_bias=False, name="k_proj")(x)
-        v = nn.DenseGeneral((KV, D), use_bias=False, name="v_proj")(x)
+        dt = getattr(jnp, cfg.dtype)
+        q = nn.DenseGeneral((H, D), use_bias=False, name="q_proj", dtype=dt)(x)
+        k = nn.DenseGeneral((KV, D), use_bias=False, name="k_proj", dtype=dt)(x)
+        v = nn.DenseGeneral((KV, D), use_bias=False, name="v_proj", dtype=dt)(x)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -147,7 +148,7 @@ class Attention(nn.Module):
         else:
             out = _reference_attention(q, k_all, v_all, offset, kv_valid)
         out = nn.DenseGeneral(cfg.dim, axis=(-2, -1), use_bias=False,
-                              name="o_proj")(out)
+                              name="o_proj", dtype=dt)(out)
         return out, new_cache
 
 
@@ -157,10 +158,13 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate, use_bias=False, name="up_proj")(x)
-        return nn.Dense(cfg.dim, use_bias=False, name="down_proj")(
-            jax.nn.silu(gate) * up)
+        dt = getattr(jnp, cfg.dtype)
+        gate = nn.Dense(cfg.intermediate, use_bias=False, name="gate_proj",
+                        dtype=dt)(x)
+        up = nn.Dense(cfg.intermediate, use_bias=False, name="up_proj",
+                      dtype=dt)(x)
+        return nn.Dense(cfg.dim, use_bias=False, name="down_proj",
+                        dtype=dt)(jax.nn.silu(gate) * up)
 
 
 class Block(nn.Module):

@@ -1,0 +1,180 @@
+"""Post-training evidence run for the reference-scale SynthQSP benchmark.
+
+Consumes the checkpoint trained by
+  python main.py ReaRev ... --data_folder data/synthqsp/ (published ReaRev
+  hyperparameters, gnn/README.md:19) and produces docs/training_r02.json:
+
+ 1. eval-only CLI pass on the chip loading the best-H1 checkpoint, exporting
+    the `.info` contract file WITH per-iteration instruction attention
+    (reference evaluate.py:140-240 + write_info);
+ 2. test-split H1 / F1 / EM + answer-recall@k of the exported candidates;
+ 3. the full second stage at scale: .info -> reasoning-path extraction ->
+    prompt builder -> (mock) LLM -> eval_result Hit/metrics + multi-hop
+    coverage (predict_answer.py flow);
+ 4. training throughput (epochs/hour, subgraphs/sec) parsed from the train
+    log.
+
+Usage: python scripts/eval_trained_synthqsp.py \
+           [--ckpt rearev_synthqsp_r2-h1.ckpt] [--train_log /tmp/train_full.log]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "data/synthqsp"
+CKPT_DIR = "checkpoints/synthqsp"
+EXP = "rearev_synthqsp_r2"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_eval_export(ckpt: str, info_path: str):
+    """Eval-only CLI pass (the reference's --is_eval flow) on the chip."""
+    from gnn_rag_tpu.cli import run
+    argv = ["ReaRev", "--entity_dim", "50", "--num_iter", "3", "--num_ins",
+            "2", "--num_gnn", "3", "--lm", "sbert", "--relation_word_emb",
+            "True", "--data_folder", DATA + "/", "--name", "synthqsp",
+            "--checkpoint_dir", CKPT_DIR + "/", "--experiment_name",
+            EXP + "_evalrun", "--load_experiment", ckpt, "--is_eval",
+            "--info_attention", "--test_batch_size", "8"]
+    run(argv)
+    produced = os.path.join(CKPT_DIR, EXP + "_evalrun_test.info")
+    os.replace(produced, info_path)
+
+
+def answer_recall(info_path: str) -> dict:
+    """Fraction of gold answers present in the exported candidate set
+    (the retrieval metric the LLM stage's ceiling depends on)."""
+    import numpy as np
+    recalls, cand_sizes = [], []
+    with open(info_path) as f:
+        for line in f:
+            body = json.loads(line)
+            cands = {c[0] for c in body["cand"]}
+            golds = set(body["answers"])
+            if golds:
+                recalls.append(len(golds & cands) / len(golds))
+            cand_sizes.append(len(cands))
+    return {"mean_answer_recall": round(float(np.mean(recalls)), 4),
+            "full_recall_frac": round(float(np.mean(
+                [r == 1.0 for r in recalls])), 4),
+            "mean_candidates": round(float(np.mean(cand_sizes)), 1)}
+
+
+def build_llm_test_json(out_path: str):
+    """SynthQSP test split -> the LLM-side QA schema (RoG jsonl)."""
+    n = 0
+    with open(os.path.join(DATA, "test.json")) as fin, \
+            open(out_path, "w") as fout:
+        for line in fin:
+            q = json.loads(line)
+            answers = [a["text"] for a in q["answers"]]
+            fout.write(json.dumps({
+                "id": q["id"], "question": q["question"],
+                "answer": answers, "q_entity": q["entities"],
+                "a_entity": answers, "graph": q["subgraph"]["tuples"],
+                "choices": []}) + "\n")
+            n += 1
+    return n
+
+
+def rag_stage(info_path: str, qa_path: str, out_dir: str) -> dict:
+    from gnn_rag_tpu.rag.evaluate_multi_hop import eval_result_multi_hop
+    from gnn_rag_tpu.rag.evaluate_results import eval_result
+    from gnn_rag_tpu.rag.predict import PredictConfig, predict_answers
+
+    t0 = time.perf_counter()
+    out = predict_answers(PredictConfig(
+        data_path=qa_path, model_name="mock", predict_path=out_dir,
+        prompt_path="prompts/llama2_predict.txt", rule_path_g1=info_path,
+        entities_names_path=None, force=True))
+    seconds = time.perf_counter() - t0
+    summary = eval_result(out)
+    toks = summary.split()
+    metrics = {toks[i].rstrip(":"): float(toks[i + 1])
+               for i in range(0, len(toks) - 1, 2)
+               if toks[i].endswith(":")}
+    mh = eval_result_multi_hop(out, dataset_path=qa_path)
+    return {"eval_result": metrics, "multi_hop": mh,
+            "questions": sum(1 for _ in open(out)),
+            "rag_seconds": round(seconds, 1)}
+
+
+def parse_train_log(path: str) -> dict:
+    if not os.path.exists(path):
+        return {}
+    epochs = []
+    for line in open(path):
+        m = re.search(r"Epoch: (\d+), loss: ([\d.]+), time: ([\d.]+)s", line)
+        if m:
+            epochs.append((int(m.group(1)), float(m.group(2)),
+                           float(m.group(3))))
+    if not epochs:
+        return {}
+    import numpy as np
+    warm = [t for _, _, t in epochs[2:]]
+    n_train = 1500
+    out = {"epochs_run": len(set(e for e, _, _ in epochs)),
+           "warm_epoch_seconds": round(float(np.median(warm)), 1),
+           "epochs_per_hour": round(3600.0 / float(np.median(warm)), 1),
+           "train_subgraphs_per_sec": round(n_train / float(np.median(warm)), 1),
+           "final_train_loss": epochs[-1][1]}
+    evals = re.findall(r"EVAL F1: ([\d.]+), H1: ([\d.]+), EM: ([\d.]+)",
+                       open(path).read())
+    if evals:
+        out["best_dev_h1"] = max(float(h) for _, h, _ in evals)
+        out["best_dev_f1"] = max(float(f) for f, _, _ in evals)
+    tests = re.findall(r"TEST F1: ([\d.]+), H1: ([\d.]+), EM: ([\d.]+)",
+                       open(path).read())
+    if tests:
+        f, h, em = tests[-1]
+        out["test_f1"], out["test_h1"], out["test_em"] = (float(f), float(h),
+                                                          float(em))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=EXP + "-h1.ckpt")
+    ap.add_argument("--train_log", default="/tmp/train_full.log")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="reuse an existing .info export")
+    args = ap.parse_args()
+
+    os.makedirs("docs", exist_ok=True)
+    info_path = os.path.join(CKPT_DIR, "test_r02.info")
+    res = {"dataset": "SynthQSP (reference-scale proxy: 1500/150/350 "
+                      "questions, lognormal subgraphs ~E1900/F~10k incl. "
+                      "self-loops+inverse=off, 1-4 hop mix)",
+           "hyperparameters": "ReaRev published: entity_dim 50, num_iter 3, "
+                              "num_ins 2, num_gnn 3, lm sbert, batch 8 "
+                              "(gnn/README.md:19)"}
+    res["training"] = parse_train_log(args.train_log)
+    if not args.skip_eval or not os.path.exists(info_path):
+        log("eval-only export on chip...")
+        run_eval_export(args.ckpt, info_path)
+    res["retrieval"] = answer_recall(info_path)
+
+    # load_gnn_rag zips the .info with a sibling test.json by line order
+    qa_path = os.path.join(CKPT_DIR, "test.json")
+    n = build_llm_test_json(qa_path)
+    log(f"LLM-side test.json: {n} questions; running RAG stage...")
+    res["rag"] = rag_stage(info_path, qa_path, os.path.join(CKPT_DIR, "rag"))
+
+    with open("docs/training_r02.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
