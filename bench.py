@@ -60,7 +60,8 @@ def _time_best(fn, args, batch_size, n_iter=20, windows=3):
     return best, batch_size / best
 
 
-def _build(shape_name, b, e, f, num_iter, num_ins, num_gnn):
+def _build(shape_name, b, e, f, num_iter, num_ins, num_gnn,
+           compute_dtype="float32"):
     import jax
 
     from gnn_rag_tpu.config import ModelConfig
@@ -75,7 +76,8 @@ def _build(shape_name, b, e, f, num_iter, num_ins, num_gnn):
     rel_h, rel_hinv, rel_mask = random_rel_hidden(rng, NUM_REL + 1, REL_LEN,
                                                   WORD_DIM)
     cfg = ModelConfig(entity_dim=D, num_iter=num_iter, num_ins=num_ins,
-                      num_gnn=num_gnn, lm="sbert", linear_dropout=0.2)
+                      num_gnn=num_gnn, lm="sbert", linear_dropout=0.2,
+                      compute_dtype=compute_dtype)
     model = ReaRev(cfg=cfg, num_entity=100_000, num_relation=NUM_REL)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
                                  rel_h, rel_hinv, rel_mask)
@@ -85,13 +87,13 @@ def _build(shape_name, b, e, f, num_iter, num_ins, num_gnn):
 
 
 def bench_shape(shape_name, b, e, f, num_iter, num_ins, num_gnn,
-                train: bool = False):
+                train: bool = False, compute_dtype: str = "float32"):
     """Returns dict with fwd (and train) subgraphs/s + achieved FLOP/s/MFU."""
     import jax
     import optax
 
     model, params, batch, args = _build(shape_name, b, e, f, num_iter,
-                                        num_ins, num_gnn)
+                                        num_ins, num_gnn, compute_dtype)
     out = {}
 
     fwd = jax.jit(lambda p, bt: model.apply(p, bt, *args))
@@ -104,8 +106,10 @@ def bench_shape(shape_name, b, e, f, num_iter, num_ins, num_gnn,
     out["fwd_ms"] = round(1e3 * sec, 2)
     if flops:
         achieved = flops / sec
+        peak = (PEAK_FLOPS_BF16 if compute_dtype == "bfloat16"
+                else PEAK_FLOPS_F32)
         out["fwd_achieved_tflops"] = round(achieved / 1e12, 2)
-        out["fwd_mfu_vs_f32_peak"] = round(achieved / PEAK_FLOPS_F32, 4)
+        out["fwd_mfu_vs_dtype_peak"] = round(achieved / peak, 4)
     log(f"{shape_name}: fwd {sgps:.1f} sg/s "
         f"({out.get('fwd_achieved_tflops', 0)} TFLOP/s)")
 
@@ -136,8 +140,10 @@ def bench_shape(shape_name, b, e, f, num_iter, num_ins, num_gnn,
         out["train_ms"] = round(1e3 * sec, 2)
         if tflops:
             achieved = tflops / sec
+            peak = (PEAK_FLOPS_BF16 if compute_dtype == "bfloat16"
+                    else PEAK_FLOPS_F32)
             out["train_achieved_tflops"] = round(achieved / 1e12, 2)
-            out["train_mfu_vs_f32_peak"] = round(achieved / PEAK_FLOPS_F32, 4)
+            out["train_mfu_vs_dtype_peak"] = round(achieved / peak, 4)
         log(f"{shape_name}: train {sgps:.1f} sg/s")
     return out
 
@@ -291,6 +297,15 @@ def main():
     webqsp = bench_shape("webqsp", B, E, F, NUM_ITER, NUM_INS, NUM_GNN,
                          train=True)
     extra["webqsp_B16_E2048_F8192"] = webqsp
+    # bf16 compute: retrieval-quality parity with fp32 proven at reference
+    # scale on the trained checkpoint (docs/training_r02.json "bf16_eval":
+    # test H1 0.9543 / F1 0.8100 vs fp32 0.9543 / 0.8105)
+    try:
+        extra["webqsp_bf16"] = bench_shape(
+            "webqsp-bf16", B, E, F, NUM_ITER, NUM_INS, NUM_GNN,
+            train=True, compute_dtype="bfloat16")
+    except Exception as exc:
+        log("bf16 bench failed:", exc)
     # CWQ-like: larger skewed subgraphs, CWQ hyperparameters
     # (num_iter 2 / num_ins 3, scripts/rearev_cwq.sh:13-14)
     extra["cwq_B8_E4096_F16384"] = bench_shape("cwq", 8, 4096, 16384,

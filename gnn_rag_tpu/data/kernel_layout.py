@@ -20,12 +20,18 @@ all-zero so the value is ignored).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
 
 TILE_E = 128   # entity rows per output tile (TPU lane width)
-TILE_F = 128   # facts per chunk
+# facts per chunk: larger chunks amortise per-iteration kernel overhead at
+# the cost of more per-tile padding (each entity tile rounds up to one
+# chunk). Must be a multiple of 128 (MXU contraction tile). Env-tunable so
+# the sweep in scripts/kernel_tune.py can measure per-shape winners.
+TILE_F = int(os.environ.get("GNN_RAG_TILE_F", "128"))
+assert TILE_F % 128 == 0, TILE_F
 
 
 class DirectionLayout(NamedTuple):
