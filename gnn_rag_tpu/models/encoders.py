@@ -85,7 +85,7 @@ class TypeLayer(nn.Module):
                        (din, D))
         b = self.param("kb_self_linear_bias", nn.initializers.zeros, (D,))
         if layout is not None:
-            from ..ops.pallas_mp import gate_scatter
+            from ..ops.pallas_mp import gate_scatter_projected
             from ..ops.segment import layout_fact_keep
             B = heads.shape[0]
             ones_ins = jnp.ones((B, 1, D), rel_features.dtype)
@@ -99,12 +99,16 @@ class TypeLayer(nn.Module):
                     p = p * layout_fact_keep(direction, drop_keep)
                 return p
 
-            out = (gate_scatter(rel_features[layout.fwd.rels], w, b, ones_ins,
-                                prior(layout.fwd), layout.fwd, num_entities,
-                                apply_relu=False)[:, 0]
-                   + gate_scatter(rel_features[layout.inv.rels], w, b, ones_ins,
-                                  prior(layout.inv), layout.inv, num_entities,
-                                  apply_relu=False)[:, 0])
+            # v3: project the [R, din] table once in XLA, gather projected
+            # rows — the kernel only gates+scatters
+            rl_tab = rel_features @ w + b                       # [R, D]
+            out = (gate_scatter_projected(rl_tab[layout.fwd.rels], ones_ins,
+                                          prior(layout.fwd), layout.fwd,
+                                          num_entities, apply_relu=False)[:, 0]
+                   + gate_scatter_projected(rl_tab[layout.inv.rels], ones_ins,
+                                            prior(layout.inv), layout.inv,
+                                            num_entities,
+                                            apply_relu=False)[:, 0])
             return jax.nn.relu(out)
 
         fact_rel = rel_features[rels]                                   # [B, F, D]

@@ -70,18 +70,22 @@ class NSMReasoning(nn.Module):
             b_step = self.param(f"rel_linear{step}_bias",
                                 nn.initializers.zeros, (D,))
             if layout is not None:
-                from ..ops.pallas_mp import gate_scatter
+                from ..ops.pallas_mp import gate_scatter_projected
                 from ..ops.segment import layout_fact_keep
                 direction = layout.fwd if not self.backward else layout.inv
-                fact_rel = rel_features[direction.rels]
                 valid = (direction.scatter >= 0).astype(curr_dist.dtype)
                 if drop_keep is not None:  # fact dropout on the fused path
                     valid = valid * layout_fact_keep(direction, drop_keep)
                 prior = (jnp.take_along_axis(curr_dist, direction.gather,
                                              axis=1) * valid)
-                neighbor = gate_scatter(fact_rel, w_step, b_step,
-                                        instruction[:, None, :], prior,
-                                        direction, E)[:, 0]   # [B, E, D]
+                # v3: projection as one large XLA matmul over the gathered
+                # features (the gather itself is loop-invariant and CSE'd
+                # across steps); the kernel only gates+scatters
+                fact_rel = rel_features[direction.rels]
+                neighbor = gate_scatter_projected(fact_rel @ w_step + b_step,
+                                                  instruction[:, None, :],
+                                                  prior, direction,
+                                                  E)[:, 0]    # [B, E, D]
                 possible = (batched_segment_sum(
                     prior, jnp.maximum(direction.scatter, 0), E)
                     if self.reason_kb else None)

@@ -20,6 +20,7 @@ distribution; KL loss against the answer distribution.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -64,11 +65,18 @@ class ReasonGNN(nn.Module):
         layout = batch.layout if not self.pos_emb else None  # pos_emb: XLA path
 
         if layout is not None:
-            from ..ops.pallas_mp import gate_scatter
+            from ..ops.pallas_mp import gate_scatter, gate_scatter_projected
             from ..ops.segment import batched_segment_sum, layout_fact_keep
             # bf16 gate values run the MXU at full rate (f32 accumulate in
             # the kernel either way); f32 uses exact HIGHEST passes
             cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+            # v3 (default): one gather of raw relation features per direction
+            # (same as v2), but the rel_linear projection runs as a single
+            # large XLA matmul per step — the Pallas kernel then only
+            # gates+scatters (fewer in-kernel matmuls, no dW/db accumulators,
+            # and the projection backward is a dense matmul, not a scatter).
+            # v2 keeps the projection in-kernel (GNN_RAG_GATE_SCATTER=v2).
+            use_v3 = os.environ.get("GNN_RAG_GATE_SCATTER", "v3") == "v3"
             fact_rel_f = rel_features[layout.fwd.rels].astype(cdt)  # [B, Fp, D]
             fact_rel_i = rel_features_inv[layout.inv.rels].astype(cdt)
             valid_f = (layout.fwd.scatter >= 0).astype(curr_dist.dtype)
@@ -111,14 +119,25 @@ class ReasonGNN(nn.Module):
                                               axis=1) * norm_f
                 prior_i = jnp.take_along_axis(curr_dist, layout.inv.gather,
                                               axis=1) * norm_i
-                nb_fwd = gate_scatter(fact_rel_f, w_step.astype(cdt),
-                                      b_step.astype(cdt),
-                                      instructions.astype(cdt),
-                                      prior_f, layout.fwd, E)   # [B, J, E, D]
-                nb_inv = gate_scatter(fact_rel_i, w_step.astype(cdt),
-                                      b_step.astype(cdt),
-                                      instructions.astype(cdt),
-                                      prior_i, layout.inv, E)
+                if use_v3:
+                    # projection as one big XLA matmul per step-direction
+                    # (MXU-efficient, dense backward), kernel gates+scatters
+                    w_c, b_c = w_step.astype(cdt), b_step.astype(cdt)
+                    nb_fwd = gate_scatter_projected(
+                        fact_rel_f @ w_c + b_c, instructions.astype(cdt),
+                        prior_f, layout.fwd, E)                # [B, J, E, D]
+                    nb_inv = gate_scatter_projected(
+                        fact_rel_i @ w_c + b_c, instructions.astype(cdt),
+                        prior_i, layout.inv, E)
+                else:
+                    nb_fwd = gate_scatter(fact_rel_f, w_step.astype(cdt),
+                                          b_step.astype(cdt),
+                                          instructions.astype(cdt),
+                                          prior_f, layout.fwd, E)
+                    nb_inv = gate_scatter(fact_rel_i, w_step.astype(cdt),
+                                          b_step.astype(cdt),
+                                          instructions.astype(cdt),
+                                          prior_i, layout.inv, E)
                 # reference order fwd_0, inv_0, fwd_1, inv_1 (reasongnn.py:150-156)
                 neighbors = jnp.stack([nb_fwd, nb_inv], axis=2)  # [B,J,2,E,D]
                 neighbors = jnp.moveaxis(neighbors, (1, 2), (2, 3)

@@ -549,6 +549,262 @@ def _fused_v2_bwd(num_entities, apply_relu, res, g):
 fused_gate_scatter_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
 
 
+# --------------------------------------------------------------------------
+# v3: gate + scatter over ALREADY-PROJECTED fact values.
+#
+# rel_linear is linear, so projecting the [R, D] relation TABLE once in XLA
+# (near-peak MXU, R ~ 2k rows) and gathering the projected rows is exactly
+# the reference's per-fact relu(rel_linear(rel_feat[rels]) * ins) — but the
+# kernel no longer runs a [TILE_F, D] @ [D, D] matmul per chunk, carries no
+# w/bias blocks, and its backward needs no cross-grid dW/db accumulators
+# (those gradients flow through the XLA table matmul + gather).
+# --------------------------------------------------------------------------
+
+
+def _fused_kernel_v3(chunk_tiles_ref, scatter_ref, prior_ref, fact_rl_ref,
+                     ins_ref, out_ref, *, tile_e: int, tile_f: int,
+                     num_ins: int, dim: int, apply_relu: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    et = chunk_tiles_ref[b, c]
+    prev_et = jnp.where(c > 0, chunk_tiles_ref[b, jnp.maximum(c - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(c == 0, et != prev_et))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dtype = fact_rl_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+    rl = fact_rl_ref[0, 0]                                   # [TILE_F, D]
+
+    idx = scatter_ref[0, pl.ds(c, 1), :]                     # [1, TILE_F]
+    pri = prior_ref[0, pl.ds(c, 1), :]                       # [1, TILE_F]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    onehot_pri = jnp.where((idx - et * tile_e) == rows,
+                           pri, 0.0).astype(dtype)           # [TILE_E, TILE_F]
+
+    vals = []
+    for j in range(num_ins):
+        ins_j = ins_ref[0, pl.ds(j, 1), :]                   # [1, D]
+        val = rl * ins_j
+        if apply_relu:
+            val = jnp.maximum(val, 0.0)
+        vals.append(val)
+    val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
+    contrib = jax.lax.dot_general(
+        onehot_pri, val_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                 # [TILE_E, J*D]
+    for j in range(num_ins):
+        out_ref[0, j] += contrib[:, j * dim:(j + 1) * dim].astype(out_ref.dtype)
+
+
+def _fused_v3_fwd_impl(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                       num_entities, apply_relu, interpret=False):
+    B, Fp, D = fact_rl.shape
+    J = ins.shape[1]
+    NC = chunk_tiles.shape[1]
+    tile_f = Fp // NC
+    scatter_idx = scatter_idx.reshape(B, NC, tile_f)
+    prior = prior.reshape(B, NC, tile_f)
+    fact_rl = fact_rl.reshape(B, NC, tile_f, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, J, TILE_E, D),
+                               lambda b, c, ct: (b, 0, ct[b, c], 0)),
+    )
+    kernel = functools.partial(_fused_kernel_v3, tile_e=TILE_E, tile_f=tile_f,
+                               num_ins=J, dim=D, apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, J, num_entities, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Fp * J * TILE_E * D,
+            bytes_accessed=fact_rl.size * fact_rl.dtype.itemsize
+            + B * num_entities * J * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunk_tiles, scatter_idx, prior, fact_rl, ins)
+
+
+def _fused_bwd_kernel_v3(chunk_tiles_ref, scatter_ref, prior_ref,
+                         fact_rl_ref, ins_ref, g_ref,
+                         dfr_ref, dprior_ref, dins_ref, *,
+                         tile_e: int, tile_f: int, num_ins: int, dim: int,
+                         apply_relu: bool):
+    """Backward of v3: per-chunk gather-as-matmul of the output grad; no
+    global accumulators (w/bias grads live in the XLA table projection)."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    et = chunk_tiles_ref[b, c]
+
+    @pl.when(c == 0)
+    def _zero_per_sample():
+        dins_ref[...] = jnp.zeros_like(dins_ref)
+
+    precision = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    rl = fact_rl_ref[0, 0].astype(f32)                       # [TF, D]
+
+    idx = scatter_ref[0, pl.ds(c, 1), :]                     # [1, TF]
+    pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)           # [1, TF]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    match = (idx - et * tile_e) == rows                      # [TE, TF]
+    onehot_t = match.astype(f32)
+    ones_row = jnp.ones((1, dim), f32)
+    # each fact matches exactly one entity row, so the prior-scaled gather
+    # gbp_j = onehot_pri^T g_j equals pri * (onehot^T g_j) — one matmul per
+    # instruction instead of two, the scaling on the VPU
+    pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)  # [TF, 1]
+
+    dfr = jnp.zeros((tile_f, dim), f32)
+    dpri_row = jnp.zeros((1, tile_f), f32)
+    for j in range(num_ins):
+        g_j = g_ref[0, j].astype(f32)                        # [TE, D]
+        gb_j = jax.lax.dot_general(onehot_t, g_j, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=precision)      # [TF, D]
+        ins_j = ins_ref[0, pl.ds(j, 1), :].astype(f32)       # [1, D]
+        pre_j = rl * ins_j
+        act_j = jnp.maximum(pre_j, 0.0) if apply_relu else pre_j
+        dpri_row += jax.lax.dot_general(ones_row, gb_j * act_j,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32,
+                                        precision=precision)
+        dval_j = gb_j * pri_col
+        if apply_relu:
+            dval_j = jnp.where(pre_j > 0, dval_j, 0.0)
+        dfr += dval_j * ins_j
+        dins_ref[0, pl.ds(j, 1), :] += jnp.sum(dval_j * rl, axis=0,
+                                               keepdims=True
+                                               ).astype(dins_ref.dtype)
+
+    dfr_ref[0, 0] = dfr.astype(dfr_ref.dtype)
+    dprior_ref[0, pl.ds(c, 1), :] = dpri_row.astype(dprior_ref.dtype)
+
+
+def _fused_v3_bwd_pallas_impl(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                              g, apply_relu, interpret=False):
+    B, Fp, D = fact_rl.shape
+    J = ins.shape[1]
+    NC = chunk_tiles.shape[1]
+    tile_f = Fp // NC
+    scatter3 = scatter_idx.reshape(B, NC, tile_f)
+    prior3 = prior.reshape(B, NC, tile_f)
+    fact_rl4 = fact_rl.reshape(B, NC, tile_f, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, TILE_E, D), lambda b, c, ct: (b, 0, ct[b, c], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(_fused_bwd_kernel_v3, tile_e=TILE_E,
+                               tile_f=tile_f, num_ins=J, dim=D,
+                               apply_relu=apply_relu)
+    dfr4, dprior3, dins = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC, tile_f, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, tile_f), jnp.float32),
+            jax.ShapeDtypeStruct((B, J, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_tiles, scatter3, prior3, fact_rl4, ins, g)
+    dfr = dfr4.reshape(B, Fp, D).astype(fact_rl.dtype)
+    dprior = dprior3.reshape(B, Fp).astype(prior.dtype)
+    return dfr, dins.astype(ins.dtype), dprior
+
+
+def gated_scatter_v3_reference(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                               num_entities, apply_relu=True):
+    """XLA fallback: same semantics over projected fact values."""
+    val = fact_rl[:, :, None, :] * ins[:, None, :, :]
+    if apply_relu:
+        val = jax.nn.relu(val)
+    val = val * prior[:, :, None, None]
+    B, Fp, J, D = val.shape
+    out = scatter_mm_reference(val.reshape(B, Fp, J * D), scatter_idx,
+                               chunk_tiles, num_entities)
+    return jnp.moveaxis(out.reshape(B, num_entities, J, D), 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gated_scatter_v3(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                     num_entities, apply_relu=True):
+    """[B,Fp,D] PROJECTED fact values -> [B,J,E,D] aggregated neighbours."""
+    return _fused_v3_fwd_impl(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                              num_entities, apply_relu)
+
+
+def _v3_fwd(fact_rl, ins, prior, scatter_idx, chunk_tiles, num_entities,
+            apply_relu):
+    out = _fused_v3_fwd_impl(fact_rl, ins, prior, scatter_idx, chunk_tiles,
+                             num_entities, apply_relu)
+    return out, (fact_rl, ins, prior, scatter_idx, chunk_tiles)
+
+
+def _v3_bwd(num_entities, apply_relu, res, g):
+    fact_rl, ins, prior, scatter_idx, chunk_tiles = res
+    if jax.default_backend() == "tpu":
+        dfr, dins, dprior = _fused_v3_bwd_pallas_impl(
+            fact_rl, ins, prior, scatter_idx, chunk_tiles, g, apply_relu)
+        return dfr, dins, dprior, None, None
+    B, Fp, D = fact_rl.shape
+    J = ins.shape[1]
+    pre = fact_rl[:, :, None, :] * ins[:, None, :, :]            # [B,Fp,J,D]
+    act = jax.nn.relu(pre) if apply_relu else pre
+    safe = jnp.maximum(scatter_idx, 0)
+    g_flat = jnp.moveaxis(g, 1, 2).reshape(B, -1, J * D)         # [B,E,J*D]
+    gb = jnp.take_along_axis(g_flat, safe[..., None], axis=1)
+    gb = jnp.where((scatter_idx >= 0)[..., None], gb, 0.0)
+    gb = gb.reshape(B, Fp, J, D)
+    dprior = jnp.einsum("bfjd,bfjd->bf", gb, act)
+    dval = gb * prior[:, :, None, None]
+    if apply_relu:
+        dval = jnp.where(pre > 0, dval, 0.0)
+    dfr = jnp.einsum("bfjd,bjd->bfd", dval, ins)
+    dins = jnp.einsum("bfjd,bfd->bjd", dval, fact_rl)
+    return (dfr.astype(fact_rl.dtype), dins.astype(ins.dtype),
+            dprior.astype(prior.dtype), None, None)
+
+
+gated_scatter_v3.defvjp(_v3_fwd, _v3_bwd)
+
+
+def gate_scatter_projected(fact_rl, ins, prior, direction, num_entities,
+                           apply_relu=True):
+    """Dispatch the v3 fused op (already-projected fact values): Mosaic
+    kernel on TPU, XLA reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return gated_scatter_v3(fact_rl, ins, prior, direction.scatter,
+                                direction.chunk_tiles, num_entities,
+                                apply_relu)
+    return gated_scatter_v3_reference(fact_rl, ins, prior, direction.scatter,
+                                      direction.chunk_tiles, num_entities,
+                                      apply_relu)
+
+
 def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
                  apply_relu=True):
     """Dispatch the fused op: Mosaic kernel on TPU, XLA reference elsewhere.

@@ -49,12 +49,22 @@ class Scale:
     facts_per_entity: float = 2.2
     n_decoys_per_hop: int = 3
     max_answers: int = 4
+    hop_mix: tuple = HOP_MIX
 
 
 TINY = Scale(n_train=48, n_dev=8, n_test=16, num_global_entities=2000,
              num_relations=24, ent_log_mean=3.3, ent_log_sigma=0.4,
              ent_min=12, ent_max=64, facts_per_entity=2.0,
              n_decoys_per_hop=2, max_answers=2)
+
+# SynthCWQ: the CWQ-flavoured proxy — more questions, bigger/more-skewed
+# subgraphs, compositional-heavy hop mix (CWQ is built by composing WebQSP
+# questions, so 2-4 hops dominate; reference trains it with num_iter 2 /
+# num_ins 3, scripts/rearev_cwq.sh)
+CWQ = Scale(n_train=2000, n_dev=200, n_test=500,
+            ent_log_mean=7.3, ent_log_sigma=0.75, ent_max=6000,
+            facts_per_entity=2.6, n_decoys_per_hop=4,
+            hop_mix=((1, 0.12), (2, 0.45), (3, 0.30), (4, 0.13)))
 
 
 def rel_name(r: int) -> str:
@@ -76,7 +86,8 @@ def question_text(path) -> str:
 def gen_question(rng: np.random.Generator, qid: int, sc: Scale) -> dict:
     ne = int(np.clip(rng.lognormal(sc.ent_log_mean, sc.ent_log_sigma),
                      sc.ent_min, sc.ent_max))
-    hops = rng.choice([h for h, _ in HOP_MIX], p=[p for _, p in HOP_MIX])
+    hops = rng.choice([h for h, _ in sc.hop_mix],
+                      p=[p for _, p in sc.hop_mix])
     hops = int(min(hops, max(1, ne // 4)))
     n_answers = int(rng.integers(1, sc.max_answers + 1))
 
@@ -191,11 +202,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="micro scale for tests")
+    ap.add_argument("--cwq", action="store_true",
+                    help="CWQ-flavoured scale (bigger, compositional-heavy)")
     ap.add_argument("--n_train", type=int, default=None)
     ap.add_argument("--n_dev", type=int, default=None)
     ap.add_argument("--n_test", type=int, default=None)
     args = ap.parse_args(argv)
-    sc = TINY if args.tiny else Scale()
+    sc = TINY if args.tiny else (CWQ if args.cwq else Scale())
     for k in ("n_train", "n_dev", "n_test"):
         v = getattr(args, k)
         if v is not None:

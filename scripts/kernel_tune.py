@@ -57,23 +57,23 @@ def worker(shape: str, dtype: str, variant: str, with_bwd: bool = True) -> dict:
     ins = jax.random.normal(k, (B, J, D), cdt)
     prior = jax.nn.softmax(jax.random.normal(k, (B, Fp)), axis=-1)
 
-    if variant == "v1":
-        op = jax.jit(lambda fr, pr: pallas_mp.fused_gate_scatter(
-            fr, w, bias, ins, pr, fwd.scatter, fwd.chunk_tiles, E, True))
-    else:
-        op = jax.jit(lambda fr, pr: pallas_mp.fused_gate_scatter_v2(
-            fr, w, bias, ins, pr, fwd.scatter, fwd.chunk_starts,
-            fwd.chunk_tiles, E, True))
+    def call(fr, pr):
+        if variant == "v1":
+            return pallas_mp.fused_gate_scatter(
+                fr, w, bias, ins, pr, fwd.scatter, fwd.chunk_tiles, E, True)
+        if variant == "v2":
+            return pallas_mp.fused_gate_scatter_v2(
+                fr, w, bias, ins, pr, fwd.scatter, fwd.chunk_starts,
+                fwd.chunk_tiles, E, True)
+        # v3: already-projected values (table projection happens in XLA
+        # outside the op; here fr stands in for the projected gather)
+        return pallas_mp.gated_scatter_v3(
+            fr, ins, pr, fwd.scatter, fwd.chunk_tiles, E, True)
+
+    op = jax.jit(call)
 
     def loss(fr, pr):
-        if variant == "v1":
-            o = pallas_mp.fused_gate_scatter(fr, w, bias, ins, pr,
-                                             fwd.scatter, fwd.chunk_tiles, E,
-                                             True)
-        else:
-            o = pallas_mp.fused_gate_scatter_v2(fr, w, bias, ins, pr,
-                                                fwd.scatter, fwd.chunk_starts,
-                                                fwd.chunk_tiles, E, True)
+        o = call(fr, pr)
         return jnp.sum(o * o)
 
     gop = jax.jit(jax.grad(loss, argnums=(0, 1)))
