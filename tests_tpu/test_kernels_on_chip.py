@@ -58,6 +58,42 @@ def test_fused_fwd_v2_on_chip(case):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_v3_fwd_on_chip(case):
+    """v3 (production path): projected values in, gate+scatter in kernel."""
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+    with jax.default_matmul_precision("highest"):
+        fact_rl = fact_rel @ w + bias
+        want = pm.gated_scatter_v3_reference(fact_rl, ins, prior, sc, ct, E,
+                                             True)
+    got = jax.jit(lambda *a: pm.gated_scatter_v3(*a, sc, ct, E, True))(
+        fact_rl, ins, prior)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_v3_grads_on_chip(case):
+    """custom_vjp dispatches the Pallas bwd kernel on TPU; compare to the
+    reference autodiff."""
+    fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
+    with jax.default_matmul_precision("highest"):
+        fact_rl = fact_rel @ w + bias
+
+    def loss_k(fr, ii, pri):
+        return jnp.sum(jnp.sin(pm.gated_scatter_v3(fr, ii, pri, sc, ct, E,
+                                                   True)))
+
+    def loss_r(fr, ii, pri):
+        return jnp.sum(jnp.sin(pm.gated_scatter_v3_reference(
+            fr, ii, pri, sc, ct, E, True)))
+
+    g_k = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(fact_rl, ins, prior)
+    with jax.default_matmul_precision("highest"):
+        g_r = jax.grad(loss_r, argnums=(0, 1, 2))(fact_rl, ins, prior)
+    for name, a, b in zip(["dfact_rl", "dins", "dprior"], g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_fused_bwd_on_chip(case):
     fact_rel, w, bias, ins, prior, sc, cs, ct, E = case
 
