@@ -1,8 +1,10 @@
-"""Post-training evidence run for the reference-scale SynthQSP benchmark.
+"""Post-training evidence run for the reference-scale proxy benchmarks.
 
 Consumes the checkpoint trained by
-  python main.py ReaRev ... --data_folder data/synthqsp/ (published ReaRev
-  hyperparameters, gnn/README.md:19) and produces docs/training_r02.json:
+  python main.py ReaRev ... --data_folder data/synthqsp/ (or synthcwq with
+  the reference CWQ hyperparameters num_iter 2 / num_ins 3,
+  scripts/rearev_cwq.sh) and produces docs/training_r02.json /
+  docs/training_cwq_r02.json:
 
  1. eval-only CLI pass on the chip loading the best-H1 checkpoint, exporting
     the `.info` contract file WITH per-iteration instruction attention
@@ -14,8 +16,8 @@ Consumes the checkpoint trained by
  4. training throughput (epochs/hour, subgraphs/sec) parsed from the train
     log.
 
-Usage: python scripts/eval_trained_synthqsp.py \
-           [--ckpt rearev_synthqsp_r2-h1.ckpt] [--train_log /tmp/train_full.log]
+Usage: python scripts/eval_trained.py [--preset synthqsp|synthcwq]
+           [--ckpt <name>.ckpt] [--train_log /tmp/train_full.log]
 """
 
 from __future__ import annotations
@@ -29,24 +31,46 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA = "data/synthqsp"
-CKPT_DIR = "checkpoints/synthqsp"
-EXP = "rearev_synthqsp_r2"
+PRESETS = {
+    "synthqsp": dict(
+        data="data/synthqsp", ckpt_dir="checkpoints/synthqsp",
+        exp="rearev_synthqsp_r2", out="docs/training_r02.json",
+        n_train=1500, train_log="/tmp/train_full.log",
+        model_args=["--num_iter", "3", "--num_ins", "2"],
+        dataset="SynthQSP (reference-scale proxy: 1500/150/350 questions, "
+                "lognormal subgraphs ~E1900/F~10k incl. self-loops+"
+                "inverse=off, 1-4 hop mix)",
+        hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19)"),
+    "synthcwq": dict(
+        data="data/synthcwq", ckpt_dir="checkpoints/synthcwq",
+        exp="rearev_synthcwq_r2", out="docs/training_cwq_r02.json",
+        n_train=2000, train_log="/tmp/train_cwq.log",
+        model_args=["--num_iter", "2", "--num_ins", "3"],
+        dataset="SynthCWQ (CWQ-flavoured proxy: 2000/200/500 questions, "
+                "compositional-heavy 2-4 hop mix, subgraphs up to E6000)",
+        hyper="ReaRev CWQ published: entity_dim 50, num_iter 2, num_ins 3, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/scripts/rearev_cwq.sh)"),
+}
+DATA = ""
+CKPT_DIR = ""
+EXP = ""
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_eval_export(ckpt: str, info_path: str):
+def run_eval_export(ckpt: str, info_path: str, preset: dict):
     """Eval-only CLI pass (the reference's --is_eval flow) on the chip."""
     from gnn_rag_tpu.cli import run
-    argv = ["ReaRev", "--entity_dim", "50", "--num_iter", "3", "--num_ins",
-            "2", "--num_gnn", "3", "--lm", "sbert", "--relation_word_emb",
-            "True", "--data_folder", DATA + "/", "--name", "synthqsp",
-            "--checkpoint_dir", CKPT_DIR + "/", "--experiment_name",
-            EXP + "_evalrun", "--load_experiment", ckpt, "--is_eval",
-            "--info_attention", "--test_batch_size", "8"]
+    argv = (["ReaRev", "--entity_dim", "50"] + preset["model_args"]
+            + ["--num_gnn", "3", "--lm", "sbert", "--relation_word_emb",
+               "True", "--data_folder", DATA + "/", "--name",
+               os.path.basename(DATA),
+               "--checkpoint_dir", CKPT_DIR + "/", "--experiment_name",
+               EXP + "_evalrun", "--load_experiment", ckpt, "--is_eval",
+               "--info_attention", "--test_batch_size", "8"])
     run(argv)
     produced = os.path.join(CKPT_DIR, EXP + "_evalrun_test.info")
     os.replace(produced, info_path)
@@ -110,7 +134,7 @@ def rag_stage(info_path: str, qa_path: str, out_dir: str) -> dict:
             "rag_seconds": round(seconds, 1)}
 
 
-def parse_train_log(path: str) -> dict:
+def parse_train_log(path: str, n_train: int = 1500) -> dict:
     if not os.path.exists(path):
         return {}
     epochs = []
@@ -123,7 +147,6 @@ def parse_train_log(path: str) -> dict:
         return {}
     import numpy as np
     warm = [t for _, _, t in epochs[2:]]
-    n_train = 1500
     out = {"epochs_run": len(set(e for e, _, _ in epochs)),
            "warm_epoch_seconds": round(float(np.median(warm)), 1),
            "epochs_per_hour": round(3600.0 / float(np.median(warm)), 1),
@@ -144,25 +167,26 @@ def parse_train_log(path: str) -> dict:
 
 
 def main():
+    global DATA, CKPT_DIR, EXP
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default=EXP + "-h1.ckpt")
-    ap.add_argument("--train_log", default="/tmp/train_full.log")
+    ap.add_argument("--preset", default="synthqsp", choices=sorted(PRESETS))
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--train_log", default=None)
     ap.add_argument("--skip_eval", action="store_true",
                     help="reuse an existing .info export")
     args = ap.parse_args()
+    preset = PRESETS[args.preset]
+    DATA, CKPT_DIR, EXP = preset["data"], preset["ckpt_dir"], preset["exp"]
+    ckpt = args.ckpt or EXP + "-h1.ckpt"
+    train_log = args.train_log or preset["train_log"]
 
     os.makedirs("docs", exist_ok=True)
     info_path = os.path.join(CKPT_DIR, "test_r02.info")
-    res = {"dataset": "SynthQSP (reference-scale proxy: 1500/150/350 "
-                      "questions, lognormal subgraphs ~E1900/F~10k incl. "
-                      "self-loops+inverse=off, 1-4 hop mix)",
-           "hyperparameters": "ReaRev published: entity_dim 50, num_iter 3, "
-                              "num_ins 2, num_gnn 3, lm sbert, batch 8 "
-                              "(gnn/README.md:19)"}
-    res["training"] = parse_train_log(args.train_log)
+    res = {"dataset": preset["dataset"], "hyperparameters": preset["hyper"]}
+    res["training"] = parse_train_log(train_log, preset["n_train"])
     if not args.skip_eval or not os.path.exists(info_path):
         log("eval-only export on chip...")
-        run_eval_export(args.ckpt, info_path)
+        run_eval_export(ckpt, info_path, preset)
     res["retrieval"] = answer_recall(info_path)
 
     # load_gnn_rag zips the .info with a sibling test.json by line order
@@ -171,7 +195,7 @@ def main():
     log(f"LLM-side test.json: {n} questions; running RAG stage...")
     res["rag"] = rag_stage(info_path, qa_path, os.path.join(CKPT_DIR, "rag"))
 
-    with open("docs/training_r02.json", "w") as f:
+    with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))
 
