@@ -193,7 +193,12 @@ def run(argv=None) -> None:
         rel_hidden = lm.encode(bundle["rel_tokens"], pad_id=pad)
         rel_hidden_inv = lm.encode(bundle["rel_tokens_inv"], pad_id=pad)
         rel_mask = (bundle["rel_tokens"] != pad).astype(np.float32)
-        if cfg.model.lm != "lstm":
+        if cfg.model.lm != "lstm" and cfg.model.lm_frozen:
+            # lm_frozen=1 (reference default): encode questions ONCE here and
+            # feed precomputed hidden states to the jitted step. With
+            # --lm_frozen 0 the in-model TransformerQuestionEncoder runs
+            # inside the step and trains (bert_encoder.py:80-83); its params
+            # are seeded from the same frozen-LM weights below.
             for split in ("train", "valid", "test"):
                 ds = bundle[split]
                 if ds is None:
@@ -265,6 +270,12 @@ def run(argv=None) -> None:
         relation_emb=relation_emb,
         id2entity=vocab.id2entity, logger=logger,
         decode_question=decode_question, mesh=mesh)
+
+    if (cfg.model.lm != "lstm" and not cfg.model.lm_frozen
+            and rel_hidden is not None):
+        # seed the trainable in-model LM from the same (HF or deterministic)
+        # weights the frozen path uses, then finetune (bert_encoder.py:80-83)
+        trainer.seed_submodule("lm", lm.params)
 
     if cfg.train.load_experiment:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,

@@ -288,6 +288,28 @@ class Trainer:
         save_pytree(path, self.params)
         self.logger.info("Best %s, saved model as %s", reason, path)
 
+    def seed_submodule(self, name: str, src_params):
+        """Overlay a flax param subtree (e.g. the in-model LM at
+        params['params'][name]) with externally loaded weights — the
+        lm_frozen=0 path starts from the pretrained encoder and finetunes
+        (bert_encoder.py:80-83). Shapes must match the in-model module."""
+        sub = src_params["params"] if "params" in src_params else src_params
+        cur = self.params["params"].get(name)
+        if cur is None:
+            raise KeyError(f"model has no trainable submodule {name!r} "
+                           "(is lm_frozen=0 and lm != lstm?)")
+        def _check(a, b):
+            if a.shape != b.shape:
+                raise ValueError(f"seed_submodule({name!r}): shape mismatch "
+                                 f"{a.shape} vs {b.shape}")
+            return 0
+        jax.tree_util.tree_map(_check, cur, sub)  # raises on mismatch
+        new_params = dict(self.params)
+        new_params["params"] = dict(self.params["params"])
+        new_params["params"][name] = jax.tree_util.tree_map(jnp.asarray, sub)
+        self.params = new_params
+        self.opt_state = self.tx.init(self.params)
+
     def load_ckpt(self, path: str):
         # partial overlay mirrors the reference's strict=False load
         # (train_model.py:252)
