@@ -68,10 +68,21 @@ class Evaluator:
         fout = open(info_path, "w") if (write_info and info_path) else None
         case_ct = {}
 
-        for it in range(num_batches):
+        # one-deep host prefetch: assemble the next batch while the device
+        # runs this one (mirrors Trainer.train_epoch)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def build(it):
             idx = data.batch_indices(it, test_batch_size)
-            batch = data.make_batch(idx, build_layout=build_layout,
-                                    batch_pad_to=batch_pad_to)
+            return idx, data.make_batch(idx, build_layout=build_layout,
+                                        batch_pad_to=batch_pad_to)
+
+        fut = pool.submit(build, 0)
+        for it in range(num_batches):
+            idx, batch = fut.result()
+            if it + 1 < num_batches:
+                fut = pool.submit(build, it + 1)
             attn = None
             if write_info and attn_forward_fn is not None:
                 loss, pred, pred_dist, attn = attn_forward_fn(batch)
@@ -116,6 +127,7 @@ class Evaluator:
                     obj["cand"] = [[self._name(c), prob] for c, prob in retrieved]
                     fout.write(json.dumps(obj) + "\n")
 
+        pool.shutdown(wait=False)
         if fout is not None:
             fout.close()
         return (float(np.mean(f1s)) if f1s else 0.0,

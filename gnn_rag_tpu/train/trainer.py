@@ -104,6 +104,8 @@ class Trainer:
         self.decode_question = decode_question
         self.best_h1 = 0.0
         self.best_f1 = 0.0
+        from concurrent.futures import ThreadPoolExecutor
+        self._prefetch = ThreadPoolExecutor(max_workers=1)
         # kernel-layout batches feed the fused Pallas path on TPU; fact
         # dropout is applied on-device through each layout's perm map, so
         # the fused path stays active under fact_drop > 0
@@ -161,10 +163,21 @@ class Trainer:
         num_batches = math.ceil(data.num_data / cfg.batch_size)
         losses, h1_all, f1_all = [], [], []
         build_layout = self.build_layout
-        for it in range(num_batches):
+
+        # one-deep host prefetch: batch assembly (numpy padding + layout
+        # packing, the dominant cost on a 1-core host) overlaps the device
+        # step — the async dispatch returns before the TPU finishes, so the
+        # next make_batch runs while the chip computes
+        def build(it):
             idx = data.batch_indices(it, cfg.batch_size)
-            batch = data.make_batch(idx, batch_pad_to=cfg.batch_size,
-                                    build_layout=build_layout)
+            return idx, data.make_batch(idx, batch_pad_to=cfg.batch_size,
+                                        build_layout=build_layout)
+
+        fut = self._prefetch.submit(build, 0)
+        for it in range(num_batches):
+            idx, batch = fut.result()
+            if it + 1 < num_batches:
+                fut = self._prefetch.submit(build, it + 1)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
                 batch = shard_batch(self.mesh, batch)
