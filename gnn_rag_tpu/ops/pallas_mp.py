@@ -665,7 +665,8 @@ def _fused_bwd_kernel_v3(chunk_tiles_ref, scatter_ref, prior_ref,
     # instruction instead of two, the scaling on the VPU
     pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
                                   (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)  # [TF, 1]
+                                  preferred_element_type=f32,
+                                  precision=precision)         # [TF, 1]
 
     dfr = jnp.zeros((tile_f, dim), f32)
     dpri_row = jnp.zeros((1, tile_f), f32)
