@@ -186,9 +186,26 @@ def run(argv=None) -> None:
     vocab = bundle["vocab"]
 
     rel_hidden = rel_hidden_inv = rel_mask = None
+    lm_source = None
     if cfg.data.relation_word_emb and bundle["rel_tokens"] is not None:
         lm = maybe_frozen_lm(cfg.model.lm, cfg.model.word_dim_effective,
-                             seed=cfg.train.seed)
+                             seed=cfg.train.seed, logger=logger)
+        lm_source = lm.weight_source
+        if cfg.model.lm != "lstm" and not cfg.model.lm_frozen:
+            # lm_frozen=0: the in-model encoder must match the loaded
+            # weights exactly or seed_submodule cannot overlay them — pin
+            # its hyperparameters from the actual module (ADVICE r2 #1)
+            from .models.encoders import TransformerQuestionEncoder
+            m = lm.module
+            if not isinstance(m, TransformerQuestionEncoder):
+                raise SystemExit(
+                    f"--lm_frozen 0 only supports bert-family encoders; "
+                    f"{cfg.model.lm!r} loaded a {type(m).__name__}")
+            import dataclasses as _dc
+            spec = (m.vocab_size, m.hidden, m.layers, m.heads,
+                    m.intermediate, m.max_len, m.position_style, m.pad_idx)
+            cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                     lm_spec=spec))
         pad = bundle["tokenizer"].pad_id
         rel_hidden = lm.encode(bundle["rel_tokens"], pad_id=pad)
         rel_hidden_inv = lm.encode(bundle["rel_tokens_inv"], pad_id=pad)
@@ -269,7 +286,7 @@ def run(argv=None) -> None:
         rel_text_mask=rel_mask, entity_emb=entity_emb, word_emb=word_emb,
         relation_emb=relation_emb,
         id2entity=vocab.id2entity, logger=logger,
-        decode_question=decode_question, mesh=mesh)
+        decode_question=decode_question, mesh=mesh, lm_source=lm_source)
 
     if (cfg.model.lm != "lstm" and not cfg.model.lm_frozen
             and rel_hidden is not None):

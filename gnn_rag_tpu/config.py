@@ -76,10 +76,18 @@ class ModelConfig:
     # numerics: compute dtype for the GNN ('float32' or 'bfloat16')
     compute_dtype: str = "float32"
 
+    # hyperparameters of the in-model trainable LM used when lm_frozen=0:
+    # (vocab, hidden, layers, heads, intermediate, max_len, position_style,
+    # pad_idx). None keeps the MiniLM-class defaults; the CLI fills this from
+    # the loaded HF encoder so seed_submodule shapes always match.
+    lm_spec: Optional[Tuple] = None
+
     @property
     def word_dim_effective(self) -> int:
         if self.lm == "lstm":
             return self.word_dim
+        if self.lm_spec is not None:
+            return self.lm_spec[1]
         return {"sbert": 384}.get(self.lm, 768)  # reference: bert_encoder.py:30-59
 
 

@@ -210,13 +210,19 @@ class SFTTrainer:
         got = 0
         while got < B:
             epoch, off = divmod(pos + got, N)
-            cache = getattr(self, "_perm_cache", (None, None))
-            if cache[0] == (epoch, N):
-                perm = cache[1]
-            else:
+            # small dict cache (keyed by (epoch, N), keeps the last two
+            # epochs) so a batch straddling an epoch boundary doesn't
+            # regenerate the N-element permutation every lookup alternation
+            cache = getattr(self, "_perm_cache", None)
+            if cache is None:
+                cache = self._perm_cache = {}
+            perm = cache.get((epoch, N))
+            if perm is None:
                 perm = np.random.default_rng(
                     (self.cfg.seed, epoch)).permutation(N)
-                self._perm_cache = ((epoch, N), perm)
+                cache[(epoch, N)] = perm
+                for k in list(cache)[:-2]:
+                    del cache[k]
             take = min(B - got, N - off)
             idx[got:got + take] = perm[off:off + take]
             got += take

@@ -234,3 +234,20 @@ class TransformerQuestionEncoder(nn.Module):
             h = nn.Dense(self.hidden, name=f"ffn2_{i}")(h)
             x = nn.LayerNorm(name=f"ln2_{i}")(x + h)
         return x
+
+
+def make_inmodel_lm(cfg, name: str = "lm") -> "TransformerQuestionEncoder":
+    """In-model trainable question encoder for lm_frozen=0
+    (bert_encoder.py:80-83). cfg.lm_spec (filled by the CLI from the loaded
+    HF encoder) pins vocab/layers/heads/intermediate/positions so
+    Trainer.seed_submodule always matches; None keeps MiniLM-class
+    defaults."""
+    if cfg.lm_spec is None:
+        return TransformerQuestionEncoder(hidden=cfg.word_dim_effective,
+                                          name=name)
+    (vocab, hidden, layers, heads, intermediate, max_len,
+     position_style, pad_idx) = cfg.lm_spec
+    return TransformerQuestionEncoder(
+        vocab_size=vocab, hidden=hidden, layers=layers, heads=heads,
+        intermediate=intermediate, max_len=max_len,
+        position_style=position_style, pad_idx=pad_idx, name=name)

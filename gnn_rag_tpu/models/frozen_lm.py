@@ -39,6 +39,7 @@ class FrozenLM:
             params = jax.jit(self.module.init)(jax.random.PRNGKey(seed),
                                                dummy_tok, dummy_mask)
         self.params = params
+        self.weight_source = "unspecified"
         self._fwd = jax.jit(lambda tok, mask: self.module.apply(self.params, tok, mask))
 
     @classmethod
@@ -87,9 +88,28 @@ class FrozenLM:
             tokens.shape + (self.module.hidden,), np.float32)
 
 
-def maybe_frozen_lm(lm: str, word_dim: int, seed: int = 0) -> FrozenLM:
-    """HF weights when available, deterministic random encoder otherwise."""
+def maybe_frozen_lm(lm: str, word_dim: int, seed: int = 0,
+                    logger=None) -> FrozenLM:
+    """HF weights when available, deterministic random encoder otherwise.
+
+    The chosen source is logged LOUDLY and recorded on the returned object
+    (``.weight_source``) so a typo'd --lm or a broken checkpoint path can
+    never silently train a different model (the reference hard-fails
+    instead, bert_encoder.py:30-59; we degrade for offline test
+    environments, but visibly). Callers stamp ``weight_source`` into
+    checkpoint metadata and the `.info` sidecar."""
+    import logging
+    logger = logger or logging.getLogger("gnn_rag_tpu")
     try:
-        return FrozenLM.from_hf(lm)
-    except Exception:
-        return FrozenLM(word_dim=word_dim, seed=seed)
+        enc = FrozenLM.from_hf(lm)
+        enc.weight_source = f"hf:{lm}"
+        logger.info("frozen LM: loaded HF weights for %r", lm)
+        return enc
+    except Exception as e:
+        enc = FrozenLM(word_dim=word_dim, seed=seed)
+        enc.weight_source = f"random-init(seed={seed}; {type(e).__name__}: {e})"
+        logger.warning(
+            "frozen LM: RANDOM INIT fallback for %r (%s: %s) — question/"
+            "relation features use a deterministic random encoder, NOT "
+            "pretrained weights", lm, type(e).__name__, e)
+        return enc

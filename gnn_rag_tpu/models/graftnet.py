@@ -23,7 +23,8 @@ from ..ops.segment import gather_entities_to_facts, scatter_facts_to_entities
 from ..ops.softmax import VERY_NEG_NUMBER, masked_softmax
 from . import base
 from .encoders import (AttnEncoder, LSTMQuestionEncoder,
-                       TransformerQuestionEncoder, TypeLayer)
+                       TransformerQuestionEncoder, TypeLayer,
+                       make_inmodel_lm)
 
 VERY_SMALL_NUMBER = 1e-10
 
@@ -147,8 +148,7 @@ class GraftNet(nn.Module):
             question_emb = nn.Dense(D, name="question_emb")
         else:
             raw_hidden = (batch.q_hidden if batch.q_hidden is not None else
-                          TransformerQuestionEncoder(
-                              hidden=cfg.word_dim_effective, name="lm")(
+                          make_inmodel_lm(cfg)(
                               batch.q_tokens, batch.q_mask))
             question_emb = nn.Dense(D, name="question_emb")
             query_hidden = question_emb(raw_hidden)

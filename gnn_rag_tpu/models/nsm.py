@@ -33,7 +33,8 @@ from ..ops.segment import (batched_segment_sum, gather_entities_to_facts,
 from ..ops.softmax import masked_softmax
 from . import base
 from .encoders import (AttnEncoder, InstructionDecoder, LSTMQuestionEncoder,
-                       TransformerQuestionEncoder, TypeLayer)
+                       TransformerQuestionEncoder, TypeLayer,
+                       make_inmodel_lm)
 
 VERY_SMALL_NUMBER = 1e-10
 
@@ -150,8 +151,7 @@ class NSM(nn.Module):
             question_emb = nn.Dense(D, name="question_emb")
         else:
             raw_hidden = (batch.q_hidden if batch.q_hidden is not None else
-                          TransformerQuestionEncoder(
-                              hidden=cfg.word_dim_effective, name="lm")(
+                          make_inmodel_lm(cfg)(
                               batch.q_tokens, batch.q_mask))
             question_emb = nn.Dense(D, name="question_emb")
             query_hidden = question_emb(raw_hidden)

@@ -34,7 +34,8 @@ from ..ops.segment import gather_entities_to_facts, scatter_facts_to_entities
 from ..ops.softmax import masked_softmax
 from . import base
 from .encoders import (AttnEncoder, InstructionDecoder, LSTMQuestionEncoder,
-                       QueryReform, TransformerQuestionEncoder, TypeLayer)
+                       QueryReform, TransformerQuestionEncoder, TypeLayer,
+                       make_inmodel_lm)
 
 
 class ReasonGNN(nn.Module):
@@ -65,18 +66,19 @@ class ReasonGNN(nn.Module):
         layout = batch.layout if not self.pos_emb else None  # pos_emb: XLA path
 
         if layout is not None:
-            from ..ops.pallas_mp import gate_scatter, gate_scatter_projected
+            from ..ops.pallas_mp import (gate_scatter, gate_scatter_both,
+                                         gate_scatter_projected)
             from ..ops.segment import batched_segment_sum, layout_fact_keep
             # bf16 gate values run the MXU at full rate (f32 accumulate in
             # the kernel either way); f32 uses exact HIGHEST passes
             cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
-            # v3 (default): one gather of raw relation features per direction
-            # (same as v2), but the rel_linear projection runs as a single
-            # large XLA matmul per step — the Pallas kernel then only
-            # gates+scatters (fewer in-kernel matmuls, no dW/db accumulators,
-            # and the projection backward is a dense matmul, not a scatter).
-            # v2 keeps the projection in-kernel (GNN_RAG_GATE_SCATTER=v2).
-            use_v3 = os.environ.get("GNN_RAG_GATE_SCATTER", "v3") == "v3"
+            # v4 (default): both directions in ONE kernel launch with
+            # whole-sample VMEM-resident outputs (halves grid iterations and
+            # output writebacks vs v3). v3 keeps per-direction launches;
+            # v2 keeps the rel projection in-kernel (GNN_RAG_GATE_SCATTER).
+            variant = os.environ.get("GNN_RAG_GATE_SCATTER", "v4")
+            use_v4 = variant == "v4"
+            use_v3 = variant == "v3"
             fact_rel_f = rel_features[layout.fwd.rels].astype(cdt)  # [B, Fp, D]
             fact_rel_i = rel_features_inv[layout.inv.rels].astype(cdt)
             valid_f = (layout.fwd.scatter >= 0).astype(curr_dist.dtype)
@@ -119,7 +121,22 @@ class ReasonGNN(nn.Module):
                                               axis=1) * norm_f
                 prior_i = jnp.take_along_axis(curr_dist, layout.inv.gather,
                                               axis=1) * norm_i
-                if use_v3:
+                if use_v4:
+                    # projection as one big XLA matmul per step-direction;
+                    # both direction scatters fused into ONE kernel launch
+                    # with j-major [B, E, J*D] outputs
+                    w_c, b_c = w_step.astype(cdt), b_step.astype(cdt)
+                    out_f, out_i = gate_scatter_both(
+                        fact_rel_f @ w_c + b_c, fact_rel_i @ w_c + b_c,
+                        instructions.astype(cdt), prior_f, prior_i,
+                        layout, E)
+                    # reference order fwd_0, inv_0, fwd_1, inv_1
+                    # (reasongnn.py:150-156): interleave directions per j
+                    neighbors = jnp.concatenate(
+                        [out_f.reshape(B, E, J, 1, D),
+                         out_i.reshape(B, E, J, 1, D)],
+                        axis=3).reshape(B, E, 2 * J * D)
+                elif use_v3:
                     # projection as one big XLA matmul per step-direction
                     # (MXU-efficient, dense backward), kernel gates+scatters
                     w_c, b_c = w_step.astype(cdt), b_step.astype(cdt)
@@ -138,10 +155,11 @@ class ReasonGNN(nn.Module):
                                           b_step.astype(cdt),
                                           instructions.astype(cdt),
                                           prior_i, layout.inv, E)
-                # reference order fwd_0, inv_0, fwd_1, inv_1 (reasongnn.py:150-156)
-                neighbors = jnp.stack([nb_fwd, nb_inv], axis=2)  # [B,J,2,E,D]
-                neighbors = jnp.moveaxis(neighbors, (1, 2), (2, 3)
-                                         ).reshape(B, E, 2 * J * D)
+                if not use_v4:
+                    # reference order fwd_0, inv_0, ... (reasongnn.py:150-156)
+                    neighbors = jnp.stack([nb_fwd, nb_inv], axis=2)
+                    neighbors = jnp.moveaxis(neighbors, (1, 2), (2, 3)
+                                             ).reshape(B, E, 2 * J * D)
             else:
                 rl_fwd = fact_rel @ w_step + b_step
                 rl_inv = fact_rel_inv @ w_step + b_step
@@ -249,8 +267,7 @@ class ReaRev(nn.Module):
             if batch.q_hidden is not None:
                 raw_hidden = batch.q_hidden          # frozen LM, precomputed
             else:
-                raw_hidden = TransformerQuestionEncoder(
-                    hidden=cfg.word_dim_effective, name="lm")(
+                raw_hidden = make_inmodel_lm(cfg)(
                         batch.q_tokens, batch.q_mask)
             question_emb = nn.Dense(D, name="question_emb")  # bert_encoder.py:69
             query_hidden = question_emb(raw_hidden)

@@ -41,6 +41,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.gp_paths_from_source.restype = ctypes.c_int64
+    lib.gp_paths_from_source.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.gp_bfs_dist.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int32, ctypes.c_void_p]
     lib.gp_random_walks.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -106,6 +111,47 @@ class NativeGraph:
             rpos += L
         return paths
 
+    def paths_from_source(self, src: int, dsts: Sequence[int],
+                          max_paths_per_pair: int = 10_000
+                          ) -> List[List[Tuple[List[int], List[int]]]]:
+        """ONE BFS from src, all shortest paths to every dst. Returns, per
+        dst, a list of (node_seq, rel_seq) — the amortised fast path for a
+        question's full candidate set."""
+        dsts_a = np.ascontiguousarray(list(dsts), np.int32)
+        n_dst = len(dsts_a)
+        nodes_cap, rels_cap, lens_cap = 1 << 16, 1 << 16, 1 << 14
+        while True:
+            out_nodes = np.empty(nodes_cap, np.int32)
+            out_rels = np.empty(rels_cap, np.int32)
+            out_lens = np.empty(lens_cap, np.int32)
+            counts = np.empty(max(n_dst, 1), np.int32)
+            n = self._lib.gp_paths_from_source(
+                self._handle, int(src),
+                dsts_a.ctypes.data_as(ctypes.c_void_p), n_dst,
+                max_paths_per_pair,
+                out_nodes.ctypes.data_as(ctypes.c_void_p), nodes_cap,
+                out_rels.ctypes.data_as(ctypes.c_void_p), rels_cap,
+                out_lens.ctypes.data_as(ctypes.c_void_p), lens_cap,
+                counts.ctypes.data_as(ctypes.c_void_p))
+            if n >= 0:
+                break
+            nodes_cap *= 4
+            rels_cap *= 4
+            lens_cap *= 4
+        per_dst: List[List[Tuple[List[int], List[int]]]] = []
+        npos = rpos = p = 0
+        for j in range(n_dst):
+            paths = []
+            for _ in range(int(counts[j])):
+                L = int(out_lens[p])
+                paths.append((out_nodes[npos:npos + L + 1].tolist(),
+                              out_rels[rpos:rpos + L].tolist()))
+                npos += L + 1
+                rpos += L
+                p += 1
+            per_dst.append(paths)
+        return per_dst
+
     def random_walks(self, sources: Sequence[int], n_walks: int,
                      walk_len: int, seed: int = 0) -> np.ndarray:
         """[n_sources * n_walks, walk_len + 1] node ids, -1 padded
@@ -138,34 +184,40 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
         return None
     node_id: Dict[str, int] = {}
     rel_id: Dict[str, int] = {}
-    heads, rels, tails = [], [], []
-
-    def nid(x):
-        if x not in node_id:
-            node_id[x] = len(node_id)
-        return node_id[x]
-
-    def rid(r):
-        r = r.strip()
-        if r not in rel_id:
-            rel_id[r] = len(rel_id)
-        return rel_id[r]
-
-    for h, r, t in triples:
-        heads.append(nid(h)); rels.append(rid(r)); tails.append(nid(t))
-    g = NativeGraph(np.asarray(heads), np.asarray(rels), np.asarray(tails),
-                    len(node_id))
-    id_node = {v: k for k, v in node_id.items()}
-    id_rel = {v: k for k, v in rel_id.items()}
+    n = len(triples)
+    heads_a = np.empty(n, np.int32)
+    rels_a = np.empty(n, np.int32)
+    tails_a = np.empty(n, np.int32)
+    ng = nr = 0
+    for i, (h, r, t) in enumerate(triples):
+        v = node_id.get(h)
+        if v is None:
+            v = node_id[h] = ng
+            ng += 1
+        heads_a[i] = v
+        r = r.strip() if isinstance(r, str) else r
+        v = rel_id.get(r)
+        if v is None:
+            v = rel_id[r] = nr
+            nr += 1
+        rels_a[i] = v
+        v = node_id.get(t)
+        if v is None:
+            v = node_id[t] = ng
+            ng += 1
+        tails_a[i] = v
+    g = NativeGraph(heads_a, rels_a, tails_a, ng)
+    id_node = list(node_id)
+    id_rel = list(rel_id)
     out: List[List[Tuple[str, str, str]]] = []
+    dst_ids = [node_id[t] for t in answers if t in node_id]
     for h in q_entities:
         if h not in node_id:
             continue
-        for t in answers:
-            if t not in node_id:
-                continue
-            for node_seq, rel_seq in g.all_shortest_paths(
-                    node_id[h], node_id[t], max_paths_per_pair):
+        # one BFS per question entity, paths to ALL candidates at once
+        for paths in g.paths_from_source(node_id[h], dst_ids,
+                                         max_paths_per_pair):
+            for node_seq, rel_seq in paths:
                 out.append([(id_node[node_seq[i]], id_rel[rel_seq[i]],
                              id_node[node_seq[i + 1]])
                             for i in range(len(rel_seq))])

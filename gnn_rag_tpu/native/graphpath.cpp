@@ -9,10 +9,10 @@
 //
 // C ABI only (ctypes-friendly). Build: `make` in this directory.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <queue>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -40,27 +40,40 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
                int64_t n_edges, int32_t n_nodes) {
   auto* g = new Graph();
   g->n_nodes = n_nodes;
-  // last-wins dedup of undirected pairs
-  std::vector<std::unordered_map<int32_t, int32_t>> adj(n_nodes);
+  // sort-based CSR build with last-wins dedup of undirected pairs (the
+  // old per-node hash maps spent the whole build in allocator churn)
+  struct Entry { int64_t key; int64_t order; int32_t rel; };
+  std::vector<Entry> entries;
+  entries.reserve(2 * n_edges);
   for (int64_t i = 0; i < n_edges; ++i) {
     int32_t h = heads[i], t = tails[i], r = rels[i];
     if (h < 0 || h >= n_nodes || t < 0 || t >= n_nodes) continue;
-    adj[h][t] = r;
-    adj[t][h] = r;
+    entries.push_back({static_cast<int64_t>(h) * n_nodes + t, i, r});
+    entries.push_back({static_cast<int64_t>(t) * n_nodes + h, i, r});
   }
+  std::sort(entries.begin(), entries.end(),
+            [](const Entry& a, const Entry& b) {
+              return a.key != b.key ? a.key < b.key : a.order < b.order;
+            });
   g->row_ptr.assign(n_nodes + 1, 0);
-  for (int32_t u = 0; u < n_nodes; ++u)
-    g->row_ptr[u + 1] = g->row_ptr[u] + static_cast<int64_t>(adj[u].size());
-  g->col.resize(g->row_ptr[n_nodes]);
-  g->rel.resize(g->row_ptr[n_nodes]);
-  for (int32_t u = 0; u < n_nodes; ++u) {
-    int64_t k = g->row_ptr[u];
-    for (const auto& [v, r] : adj[u]) {
-      g->col[k] = v;
-      g->rel[k] = r;
-      ++k;
-    }
+  // dedup: keep the LAST input occurrence of each (u, v) pair
+  int64_t m = 0;
+  for (int64_t i = 0; i < static_cast<int64_t>(entries.size()); ++i) {
+    if (i + 1 < static_cast<int64_t>(entries.size()) &&
+        entries[i + 1].key == entries[i].key)
+      continue;
+    entries[m++] = entries[i];
   }
+  entries.resize(m);
+  g->col.resize(m);
+  g->rel.resize(m);
+  for (int64_t i = 0; i < m; ++i) {
+    int32_t u = static_cast<int32_t>(entries[i].key / n_nodes);
+    g->col[i] = static_cast<int32_t>(entries[i].key % n_nodes);
+    g->rel[i] = entries[i].rel;
+    ++g->row_ptr[u + 1];
+  }
+  for (int32_t u = 0; u < n_nodes; ++u) g->row_ptr[u + 1] += g->row_ptr[u];
   return g;
 }
 
@@ -150,6 +163,98 @@ int64_t gp_all_shortest_paths(void* graph, int32_t src, int32_t dst,
       np.push_back(p);
       stack.push_back({p, std::move(np)});
     }
+  }
+  return n_paths;
+}
+
+// One BFS from `src`, then enumerate all shortest paths to EVERY
+// destination in `dsts` — amortises the BFS the per-pair entry point
+// (gp_all_shortest_paths) repeats for each GNN candidate of a question.
+// Packed output: paths appear grouped by destination (out_pair_counts[j]
+// paths for dsts[j]); layout of out_nodes/out_rels/out_lens matches
+// gp_all_shortest_paths. Returns total paths, or -1 if buffers are too
+// small.
+int64_t gp_paths_from_source(void* graph, int32_t src, const int32_t* dsts,
+                             int32_t n_dst, int64_t max_paths_per_pair,
+                             int32_t* out_nodes, int64_t nodes_cap,
+                             int32_t* out_rels, int64_t rels_cap,
+                             int32_t* out_lens, int64_t lens_cap,
+                             int32_t* out_pair_counts) {
+  const Graph& g = *static_cast<Graph*>(graph);
+  std::fill(out_pair_counts, out_pair_counts + n_dst, 0);
+  if (src < 0 || src >= g.n_nodes) return 0;
+
+  // full-graph BFS with predecessor lists
+  std::vector<int32_t> dist(g.n_nodes, -1);
+  std::vector<std::vector<int32_t>> preds(g.n_nodes);
+  std::vector<int32_t> frontier{src}, next_frontier;
+  dist[src] = 0;
+  int32_t d = 0;
+  while (!frontier.empty()) {
+    ++d;
+    next_frontier.clear();
+    for (int32_t u : frontier) {
+      for (int64_t k = g.row_ptr[u]; k < g.row_ptr[u + 1]; ++k) {
+        int32_t v = g.col[k];
+        if (dist[v] == -1) {
+          dist[v] = d;
+          preds[v].push_back(u);
+          next_frontier.push_back(v);
+        } else if (dist[v] == d) {
+          preds[v].push_back(u);
+        }
+      }
+    }
+    frontier.swap(next_frontier);
+  }
+
+  int64_t n_paths = 0, node_pos = 0, rel_pos = 0;
+  std::vector<std::pair<int32_t, std::vector<int32_t>>> stack;
+  for (int32_t j = 0; j < n_dst; ++j) {
+    int32_t dst = dsts[j];
+    if (dst < 0 || dst >= g.n_nodes) continue;
+    if (dst == src) {
+      if (n_paths >= lens_cap || node_pos + 1 > nodes_cap) return -1;
+      out_lens[n_paths] = 0;
+      out_nodes[node_pos++] = src;
+      ++n_paths;
+      out_pair_counts[j] = 1;
+      continue;
+    }
+    if (dist[dst] == -1) continue;
+    int64_t pair_paths = 0;
+    stack.clear();
+    stack.push_back({dst, {dst}});
+    while (!stack.empty()) {
+      auto [node, path] = std::move(stack.back());
+      stack.pop_back();
+      if (node == src) {
+        int32_t L = static_cast<int32_t>(path.size()) - 1;
+        if (n_paths >= lens_cap || node_pos + L + 1 > nodes_cap ||
+            rel_pos + L > rels_cap)
+          return -1;
+        out_lens[n_paths] = L;
+        for (int64_t i = path.size() - 1; i >= 0; --i)
+          out_nodes[node_pos++] = path[i];
+        for (int64_t i = path.size() - 1; i >= 1; --i) {
+          int32_t u = path[i], v = path[i - 1];
+          int32_t r = -1;
+          for (int64_t k = g.row_ptr[u]; k < g.row_ptr[u + 1]; ++k)
+            if (g.col[k] == v) { r = g.rel[k]; break; }
+          out_rels[rel_pos++] = r;
+        }
+        ++n_paths;
+        ++pair_paths;
+        if (pair_paths >= max_paths_per_pair) break;
+        continue;
+      }
+      for (int32_t p : preds[node]) {
+        auto np = path;
+        np.push_back(p);
+        stack.push_back({p, std::move(np)});
+      }
+    }
+    out_pair_counts[j] = static_cast<int32_t>(pair_paths);
   }
   return n_paths;
 }

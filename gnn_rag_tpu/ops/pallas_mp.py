@@ -19,6 +19,7 @@ Backward of a linear scatter is a gather: dV[b,f] = g[b, scatter_idx[b,f]].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -820,3 +821,496 @@ def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
     return fused_gate_scatter_reference(
         fact_rel, w, bias, ins, prior, direction.scatter,
         direction.chunk_tiles, num_entities, apply_relu)
+
+
+# --------------------------------------------------------------------------
+# v4: both directions fused in ONE launch, whole-sample output resident in
+# VMEM.
+#
+# v3's cost is per-grid-iteration overhead (BUILD_NOTES "kernel roofline":
+# ~1.1us/chunk vs ~0.3us of MXU work) plus a [TILE_E, D] output-block
+# writeback every time the entity tile changes. v4 restructures the grid so
+# each (sample, chunk) iteration processes the fwd AND inv chunk (halving
+# iterations per step), and the outputs are whole-sample [E, J*D] blocks
+# whose index map depends only on the sample row — they stay VMEM-resident
+# across all of a sample's chunks (one HBM writeback per sample instead of
+# one per tile-change) and are accumulated into with a dynamic sublane
+# slice at the chunk's entity tile. Lanes carry J*D (instructions packed
+# j-major), so DMA rows are J*D wide instead of D — at D=50, J=2-3 this is
+# the difference between 50/128 and 100-150/128(256) lane utilisation.
+# --------------------------------------------------------------------------
+
+
+def _fused_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
+                     scatter_i_ref, prior_i_ref, vals_i_ref, ins_ref,
+                     out_f_ref, out_i_ref, *, tile_e: int, tile_f: int,
+                     num_ins: int, dim: int, apply_relu: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        out_f_ref[...] = jnp.zeros_like(out_f_ref)
+        out_i_ref[...] = jnp.zeros_like(out_i_ref)
+
+    dtype = vals_f_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+
+    for d, (scatter_ref, prior_ref, vals_ref, out_ref) in enumerate((
+            (scatter_f_ref, prior_f_ref, vals_f_ref, out_f_ref),
+            (scatter_i_ref, prior_i_ref, vals_i_ref, out_i_ref))):
+        et = ct2_ref[b, d, c]
+        idx = scatter_ref[0, pl.ds(c, 1), :]                 # [1, TF]
+        pri = prior_ref[0, pl.ds(c, 1), :]                   # [1, TF]
+        onehot_pri = jnp.where((idx - et * tile_e) == rows,
+                               pri, 0.0).astype(dtype)       # [TE, TF]
+        rl = vals_ref[0, 0]                                  # [TF, D]
+        vals = []
+        for j in range(num_ins):
+            v = rl * ins_ref[0, pl.ds(j, 1), :]
+            if apply_relu:
+                v = jnp.maximum(v, 0.0)
+            vals.append(v)
+        val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
+        contrib = jax.lax.dot_general(
+            onehot_pri, val_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                             # [TE, J*D]
+        cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
+        out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
+            cur + contrib.astype(out_ref.dtype))
+
+
+def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
+                 ct2, num_entities, apply_relu, interpret=False):
+    # run the Mosaic kernel on TPU, the Pallas interpreter elsewhere, so the
+    # custom-vjp op itself is callable on every backend (CI, virtual meshes)
+    interpret = interpret or jax.default_backend() != "tpu"
+    B, Fp, D = vals_f.shape
+    J = ins.shape[1]
+    NC = ct2.shape[2]
+    if _v4_vmem_split(num_entities, J, D):
+        # big-E shapes: one launch per direction keeps the resident output
+        # (x2 Mosaic buffers) under the scoped-VMEM limit
+        out_f = _v4s_call(vals_f, prior_f, scatter_f, ct2[:, 0], num_entities,
+                          J, D, apply_relu, interpret, ins)
+        out_i = _v4s_call(vals_i, prior_i, scatter_i, ct2[:, 1], num_entities,
+                          J, D, apply_relu, interpret, ins)
+        return out_f, out_i
+    tile_f = Fp // NC
+    sh3 = (B, NC, tile_f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, num_entities, J * D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, num_entities, J * D), lambda b, c, ct: (b, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(_fused_kernel_v4, tile_e=TILE_E, tile_f=tile_f,
+                               num_ins=J, dim=D, apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, num_entities, J * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_entities, J * D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * Fp * J * TILE_E * D,
+            bytes_accessed=(vals_f.size + vals_i.size) * vals_f.dtype.itemsize
+            + 2 * B * num_entities * J * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(ct2, scatter_f.reshape(sh3), prior_f.reshape(sh3),
+      vals_f.reshape(B, NC, tile_f, D), scatter_i.reshape(sh3),
+      prior_i.reshape(sh3), vals_i.reshape(B, NC, tile_f, D), ins)
+
+
+def _fused_bwd_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
+                         scatter_i_ref, prior_i_ref, vals_i_ref, ins_ref,
+                         g_f_ref, g_i_ref,
+                         dvf_ref, dvi_ref, dpf_ref, dpi_ref, dins_ref, *,
+                         tile_e: int, tile_f: int, num_ins: int, dim: int,
+                         apply_relu: bool):
+    """Backward of v4: per chunk, the output-grad gather is a one-hot matmul
+    against the VMEM-resident whole-sample grad block (dynamic sublane
+    slice) — no per-chunk HBM traffic for g."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        dins_ref[...] = jnp.zeros_like(dins_ref)
+
+    precision = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    ones_row = jnp.ones((1, num_ins * dim), f32)
+
+    for d, (scatter_ref, prior_ref, vals_ref, g_ref, dv_ref, dp_ref) in (
+            enumerate(((scatter_f_ref, prior_f_ref, vals_f_ref, g_f_ref,
+                        dvf_ref, dpf_ref),
+                       (scatter_i_ref, prior_i_ref, vals_i_ref, g_i_ref,
+                        dvi_ref, dpi_ref)))):
+        et = ct2_ref[b, d, c]
+        idx = scatter_ref[0, pl.ds(c, 1), :]                 # [1, TF]
+        pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)       # [1, TF]
+        onehot_t = ((idx - et * tile_e) == rows).astype(f32)  # [TE, TF]
+        g_slice = g_ref[0, pl.ds(et * tile_e, tile_e), :].astype(f32)
+        gb = jax.lax.dot_general(onehot_t, g_slice,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32,
+                                 precision=precision)        # [TF, J*D]
+        rl = vals_ref[0, 0].astype(f32)                      # [TF, D]
+        pres = []
+        for j in range(num_ins):
+            pres.append(rl * ins_ref[0, pl.ds(j, 1), :].astype(f32))
+        pre_all = (jnp.concatenate(pres, axis=1) if num_ins > 1
+                   else pres[0])                             # [TF, J*D]
+        act_all = jnp.maximum(pre_all, 0.0) if apply_relu else pre_all
+        # dprior[1, f] = sum_lanes gb * act  (lane reduction as a matmul)
+        dp_row = jax.lax.dot_general(ones_row, gb * act_all,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32,
+                                     precision=precision)    # [1, TF]
+        dp_ref[0, pl.ds(c, 1), :] = dp_row.astype(dp_ref.dtype)
+        # each fact matches exactly one entity row: prior scaling commutes
+        pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32,
+                                      precision=precision)   # [TF, 1]
+        dval = gb * pri_col
+        if apply_relu:
+            dval = jnp.where(pre_all > 0, dval, 0.0)
+        dfr = jnp.zeros((tile_f, dim), f32)
+        for j in range(num_ins):
+            dval_j = dval[:, j * dim:(j + 1) * dim]
+            dfr += dval_j * ins_ref[0, pl.ds(j, 1), :].astype(f32)
+            dins_ref[0, pl.ds(j, 1), :] += jnp.sum(
+                dval_j * rl, axis=0, keepdims=True).astype(dins_ref.dtype)
+        dv_ref[0, 0] = dfr.astype(dv_ref.dtype)
+
+
+def _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
+                 ct2, g_f, g_i, apply_relu, interpret=False):
+    B, Fp, D = vals_f.shape
+    J = ins.shape[1]
+    NC = ct2.shape[2]
+    if _v4_vmem_split(g_f.shape[1], J, D):
+        dvf, dpf, dins_f = _v4s_bwd_call(vals_f, prior_f, scatter_f,
+                                         ct2[:, 0], g_f, J, D, apply_relu,
+                                         interpret, ins)
+        dvi, dpi, dins_i = _v4s_bwd_call(vals_i, prior_i, scatter_i,
+                                         ct2[:, 1], g_i, J, D, apply_relu,
+                                         interpret, ins)
+        return (dvf.astype(vals_f.dtype), dvi.astype(vals_i.dtype),
+                (dins_f + dins_i).astype(ins.dtype),
+                dpf.astype(prior_f.dtype), dpi.astype(prior_i.dtype))
+    tile_f = Fp // NC
+    sh3 = (B, NC, tile_f)
+    E = g_f.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(_fused_bwd_kernel_v4, tile_e=TILE_E,
+                               tile_f=tile_f, num_ins=J, dim=D,
+                               apply_relu=apply_relu)
+    dvf4, dvi4, dpf3, dpi3, dins = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC, tile_f, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, tile_f, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, tile_f), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, tile_f), jnp.float32),
+            jax.ShapeDtypeStruct((B, J, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ct2, scatter_f.reshape(sh3), prior_f.reshape(sh3),
+      vals_f.reshape(B, NC, tile_f, D), scatter_i.reshape(sh3),
+      prior_i.reshape(sh3), vals_i.reshape(B, NC, tile_f, D), ins, g_f, g_i)
+    return (dvf4.reshape(B, Fp, D).astype(vals_f.dtype),
+            dvi4.reshape(B, Fp, D).astype(vals_i.dtype),
+            dins.astype(ins.dtype),
+            dpf3.reshape(B, Fp).astype(prior_f.dtype),
+            dpi3.reshape(B, Fp).astype(prior_i.dtype))
+
+
+def gated_scatter_v4_reference(vals_f, vals_i, ins, prior_f, prior_i,
+                               scatter_f, scatter_i, ct2, num_entities,
+                               apply_relu=True):
+    """XLA fallback with identical semantics: two direction outputs, each
+    [B, E, J*D] with instructions packed j-major in the lane dim."""
+    outs = []
+    for vals, prior, scatter in ((vals_f, prior_f, scatter_f),
+                                 (vals_i, prior_i, scatter_i)):
+        o = gated_scatter_v3_reference(vals, ins, prior, scatter, None,
+                                       num_entities, apply_relu)
+        B, J, E, D = o.shape
+        outs.append(jnp.moveaxis(o, 1, 2).reshape(B, E, J * D))
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def gated_scatter_v4(vals_f, vals_i, ins, prior_f, prior_i, scatter_f,
+                     scatter_i, ct2, num_entities, apply_relu=True):
+    """Fused both-direction gate+scatter over PROJECTED fact values.
+    Returns (out_fwd, out_inv), each [B, E, J*D] (j-major lanes)."""
+    return _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f,
+                        scatter_i, ct2, num_entities, apply_relu)
+
+
+def _v4_fwd(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
+            ct2, num_entities, apply_relu):
+    out = _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f,
+                       scatter_i, ct2, num_entities, apply_relu)
+    return out, (vals_f, vals_i, ins, prior_f, prior_i, scatter_f,
+                 scatter_i, ct2)
+
+
+def _v4_bwd(num_entities, apply_relu, res, g):
+    vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i, ct2 = res
+    g_f, g_i = g
+    if jax.default_backend() == "tpu":
+        return _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f,
+                            scatter_i, ct2, g_f, g_i, apply_relu) + (None,
+                                                                     None,
+                                                                     None)
+    # XLA fallback: run the v3 backward per direction on the [B,J,E,D] view
+    B, E, JD = g_f.shape
+    J = ins.shape[1]
+    D = JD // J
+    dins = jnp.zeros_like(ins)
+    grads = []
+    for vals, prior, scatter, gd in ((vals_f, prior_f, scatter_f, g_f),
+                                     (vals_i, prior_i, scatter_i, g_i)):
+        g4 = jnp.moveaxis(gd.reshape(B, E, J, D), 2, 1)      # [B, J, E, D]
+        dfr, di, dpri = _v3_bwd(num_entities, apply_relu,
+                                (vals, ins, prior, scatter, None), g4)[:3]
+        dins = dins + di
+        grads.append((dfr, dpri))
+    (dvf, dpf), (dvi, dpi) = grads
+    return dvf, dvi, dins, dpf, dpi, None, None, None
+
+
+gated_scatter_v4.defvjp(_v4_fwd, _v4_bwd)
+
+
+def gate_scatter_both(fact_rl_f, fact_rl_i, ins, prior_f, prior_i, layout,
+                      num_entities, apply_relu=True):
+    """Dispatch the v4 fused both-direction op (already-projected values):
+    Mosaic kernel on TPU, XLA reference elsewhere. Returns (out_f, out_i)
+    as [B, E, J*D]."""
+    ct2 = jnp.stack([layout.fwd.chunk_tiles, layout.inv.chunk_tiles], axis=1)
+    if jax.default_backend() == "tpu":
+        return gated_scatter_v4(fact_rl_f, fact_rl_i, ins, prior_f, prior_i,
+                                layout.fwd.scatter, layout.inv.scatter, ct2,
+                                num_entities, apply_relu)
+    return gated_scatter_v4_reference(fact_rl_f, fact_rl_i, ins, prior_f,
+                                      prior_i, layout.fwd.scatter,
+                                      layout.inv.scatter, ct2, num_entities,
+                                      apply_relu)
+
+
+# Single-direction v4 ("v4s"): same resident-output design, one direction
+# per launch. Used when BOTH directions' resident [E, J*D] blocks (double-
+# buffered by Mosaic across the sample transition) would exceed scoped VMEM
+# — e.g. CWQ shapes E=4096, J=3: 2 dirs x 2 buffers x 4096x256x4B = 16.8MB.
+
+
+def _fused_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
+                      out_ref, *, tile_e: int, tile_f: int, num_ins: int,
+                      dim: int, apply_relu: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dtype = vals_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    et = ct_ref[b, c]
+    idx = scatter_ref[0, pl.ds(c, 1), :]
+    pri = prior_ref[0, pl.ds(c, 1), :]
+    onehot_pri = jnp.where((idx - et * tile_e) == rows, pri,
+                           0.0).astype(dtype)
+    rl = vals_ref[0, 0]
+    vals = []
+    for j in range(num_ins):
+        v = rl * ins_ref[0, pl.ds(j, 1), :]
+        if apply_relu:
+            v = jnp.maximum(v, 0.0)
+        vals.append(v)
+    val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
+    contrib = jax.lax.dot_general(
+        onehot_pri, val_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
+    out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
+        cur + contrib.astype(out_ref.dtype))
+
+
+def _fused_bwd_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
+                          g_ref, dv_ref, dp_ref, dins_ref, *, tile_e: int,
+                          tile_f: int, num_ins: int, dim: int,
+                          apply_relu: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        dins_ref[...] = jnp.zeros_like(dins_ref)
+
+    precision = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
+    ones_row = jnp.ones((1, num_ins * dim), f32)
+    et = ct_ref[b, c]
+    idx = scatter_ref[0, pl.ds(c, 1), :]
+    pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)
+    onehot_t = ((idx - et * tile_e) == rows).astype(f32)
+    g_slice = g_ref[0, pl.ds(et * tile_e, tile_e), :].astype(f32)
+    gb = jax.lax.dot_general(onehot_t, g_slice, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32, precision=precision)
+    rl = vals_ref[0, 0].astype(f32)
+    pres = [rl * ins_ref[0, pl.ds(j, 1), :].astype(f32)
+            for j in range(num_ins)]
+    pre_all = jnp.concatenate(pres, axis=1) if num_ins > 1 else pres[0]
+    act_all = jnp.maximum(pre_all, 0.0) if apply_relu else pre_all
+    dp_row = jax.lax.dot_general(ones_row, gb * act_all,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32,
+                                 precision=precision)
+    dp_ref[0, pl.ds(c, 1), :] = dp_row.astype(dp_ref.dtype)
+    pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32,
+                                  precision=precision)
+    dval = gb * pri_col
+    if apply_relu:
+        dval = jnp.where(pre_all > 0, dval, 0.0)
+    dfr = jnp.zeros((tile_f, dim), f32)
+    for j in range(num_ins):
+        dval_j = dval[:, j * dim:(j + 1) * dim]
+        dfr += dval_j * ins_ref[0, pl.ds(j, 1), :].astype(f32)
+        dins_ref[0, pl.ds(j, 1), :] += jnp.sum(
+            dval_j * rl, axis=0, keepdims=True).astype(dins_ref.dtype)
+    dv_ref[0, 0] = dfr.astype(dv_ref.dtype)
+
+
+def _v4_vmem_split(num_entities: int, J: int, D: int) -> bool:
+    """True when the dual-direction launch would blow scoped VMEM: Mosaic
+    double-buffers the resident output blocks across the sample transition,
+    so the budget is 2 dirs x 2 buffers x E x roundup(J*D, 128 lanes) x 4B
+    (plus ~1MB of chunk blocks) against the 16MB scoped limit."""
+    lanes = -(-J * D // 128) * 128
+    limit_mb = float(os.environ.get("GNN_RAG_V4_VMEM_LIMIT_MB", "14"))
+    return 4 * num_entities * lanes * 4 > limit_mb * 2**20
+
+
+def _v4s_call(vals, prior, scatter, ct, num_entities, J, D, apply_relu,
+              interpret, ins):
+    B, Fp, _ = vals.shape
+    NC = ct.shape[1]
+    tile_f = Fp // NC
+    sh3 = (B, NC, tile_f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, num_entities, J * D),
+                               lambda b, c, ct: (b, 0, 0)),
+    )
+    kernel = functools.partial(_fused_kernel_v4s, tile_e=TILE_E,
+                               tile_f=tile_f, num_ins=J, dim=D,
+                               apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, num_entities, J * D),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Fp * J * TILE_E * D,
+            bytes_accessed=vals.size * vals.dtype.itemsize
+            + B * num_entities * J * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(ct, scatter.reshape(sh3), prior.reshape(sh3),
+      vals.reshape(B, NC, tile_f, D), ins)
+
+
+def _v4s_bwd_call(vals, prior, scatter, ct, g, J, D, apply_relu, interpret,
+                  ins):
+    B, Fp, _ = vals.shape
+    NC = ct.shape[1]
+    tile_f = Fp // NC
+    sh3 = (B, NC, tile_f)
+    E = g.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
+            pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(_fused_bwd_kernel_v4s, tile_e=TILE_E,
+                               tile_f=tile_f, num_ins=J, dim=D,
+                               apply_relu=apply_relu)
+    dv4, dp3, dins = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC, tile_f, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, tile_f), jnp.float32),
+            jax.ShapeDtypeStruct((B, J, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ct, scatter.reshape(sh3), prior.reshape(sh3),
+      vals.reshape(B, NC, tile_f, D), ins, g)
+    return dv4.reshape(B, Fp, D), dp3.reshape(B, Fp), dins

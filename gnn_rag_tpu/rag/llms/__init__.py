@@ -8,6 +8,7 @@ backend is added for offline tests and dry runs.
 from .base import BaseLanguageModel
 from .hf_causal import Alpaca, Llama, Longchat
 from .flan_t5 import FlanT5
+from .llama_tpu import LlamaTPU
 from .openai_chat import ChatGPT
 from .mock import MockLLM
 
@@ -16,6 +17,7 @@ registed_language_models = {
     "gpt-3.5-turbo": ChatGPT,
     "alpaca": Alpaca,
     "longchat": Longchat,
+    "tpu": LlamaTPU,       # on-chip LlamaLM reader (llm_tpu checkpoint)
     "llama": Llama,
     "flan-t5": FlanT5,
     "rog": Llama,

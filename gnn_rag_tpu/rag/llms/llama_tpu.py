@@ -1,0 +1,95 @@
+"""On-chip LlamaLM reader backend (TPU-native replacement for the
+reference's HF `pipeline("text-generation")` Llama backend,
+llm/src/llms/language_models/llama.py:15-36).
+
+Serves a local SFT'd gnn_rag_tpu.llm_tpu.LlamaLM checkpoint through the
+registry interface, decoding with the jitted kv-cache Decoder. The default
+tokenizer is a self-contained byte-level tokenizer (no external assets —
+this environment has no HF tokenizer files), which is what the tiny trained
+reader of scripts/train_reader.py uses; real LLaMA checkpoints imported via
+convert_hf can plug in an HF tokenizer by passing `tokenizer=`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+from .base import BaseLanguageModel
+
+
+class ByteTokenizer:
+    """Reversible byte-level tokenizer: ids 0..2 = pad/bos/eos, 3..258 =
+    bytes. No assets, no OOV."""
+
+    pad_id = 0
+    bos_id = 1
+    eos_id = 2
+    vocab_size = 259
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        ids = [b + 3 for b in text.encode("utf-8")]
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    def decode(self, ids) -> str:
+        return bytes(max(0, int(i) - 3) for i in ids
+                     if int(i) >= 3).decode("utf-8", errors="ignore")
+
+
+class LlamaTPU(BaseLanguageModel):
+    """Registry backend: greedy decode on the TPU with a kv cache."""
+
+    DTYPE = {"fp16": "bfloat16", "bf16": "bfloat16", "fp32": "float32"}
+
+    @staticmethod
+    def add_args(parser):
+        parser.add_argument("--model_path", type=str, default=None,
+                            help="dir with checkpoint/ and config.json")
+        parser.add_argument("--max_new_tokens", type=int, default=64)
+
+    def __init__(self, args, tokenizer=None):
+        self.args = args
+        self.tok = tokenizer or ByteTokenizer()
+        self.maximun_token = 4096 - 100  # overwritten from config at load
+
+    def load_model(self, **kwargs):
+        self.prepare_for_inference(**kwargs)
+        return self
+
+    def prepare_for_inference(self, **kwargs):
+        import jax.numpy as jnp
+
+        from ...llm_tpu.generate import Decoder
+        from ...llm_tpu.model import LlamaConfig, LlamaLM
+        from ...utils.checkpoint import load_pytree
+
+        path = self.args.model_path
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        self.max_new = int(getattr(self.args, "max_new_tokens", 64) or 64)
+        cfg = LlamaConfig(**raw)
+        self.maximun_token = cfg.max_seq_len - self.max_new - 8
+        model = LlamaLM(cfg)
+        dummy = model.init(__import__("jax").random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32))
+        params = load_pytree(os.path.join(path, "checkpoint"), dummy)
+        self.decoder = Decoder(model, params, max_len=cfg.max_seq_len)
+
+    def tokenize(self, text: str) -> int:
+        return len(self.tok.encode(text))
+
+    def generate_sentence(self, llm_input: str) -> str:
+        ids = self.tok.encode(llm_input)[-self.maximun_token:]
+        out = self.decoder.greedy(ids, max_new_tokens=self.max_new,
+                                  eos_id=self.tok.eos_id)
+        return self.tok.decode(out[len(ids):]).strip()
+
+    def generate_batch(self, llm_inputs: List[str]) -> List[str]:
+        prompts = [self.tok.encode(t)[-self.maximun_token:]
+                   for t in llm_inputs]
+        outs = self.decoder.greedy_batch(prompts,
+                                         max_new_tokens=self.max_new,
+                                         eos_id=self.tok.eos_id)
+        return [self.tok.decode(o[len(p):]).strip()
+                for p, o in zip(prompts, outs)]

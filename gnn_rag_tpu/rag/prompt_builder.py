@@ -103,14 +103,13 @@ class PromptBuilder:
                                   for p in reasoning_paths]
 
         if question_dict.get("cand") is not None:
-            if graph is not None:
-                reasoning_paths = graph_utils.get_truth_paths(
-                    question_dict["q_entity"], question_dict["cand"], graph)
-            else:  # no graph built yet: C++ fast path (native.graphpath)
-                reasoning_paths = graph_utils.get_truth_paths_fast(
-                    question_dict["graph"], question_dict["q_entity"],
-                    question_dict["cand"], [], self.encrypt,
-                    self.names_entities)
+            # C++ fast path (native.graphpath: one BFS per question entity,
+            # paths to all candidates) — the production backend; it falls
+            # back to the Python oracle when the library is unavailable
+            reasoning_paths = graph_utils.get_truth_paths_fast(
+                question_dict["graph"], question_dict["q_entity"],
+                question_dict["cand"], [], self.encrypt,
+                self.names_entities)
             for p in reasoning_paths:
                 s = text_utils.path_to_string(p)
                 if s not in lists_of_paths:

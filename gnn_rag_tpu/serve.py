@@ -35,7 +35,8 @@ class RetrieverService:
                  question_encoder: Optional[Callable] = None,
                  tokenizer=None, max_hops: int | None = None,
                  entity_buckets=(256, 512, 1024, 2048),
-                 fact_buckets=(1024, 2048, 4096, 8192, 16384)):
+                 fact_buckets=(1024, 2048, 4096, 8192, 16384),
+                 path_backend: str = "auto"):
         self.cfg = cfg
         self.vocab = vocab
         self.nkr = num_kb_relation(vocab.num_relation,
@@ -46,7 +47,17 @@ class RetrieverService:
         self.rel_args = (rel_hidden, rel_hidden_inv, rel_text_mask)
         self.question_encoder = question_encoder  # tokens -> hidden states
         self.tokenizer = tokenizer
-        self.extractor = BatchedPathExtractor(max_hops=max_hops)
+        # path backend: the C++ enumerator (one BFS per source, all
+        # candidates at once) is the benchmarked production winner
+        # (BENCH path_extraction); 'device' keeps the batched TPU BFS,
+        # 'python' the networkx-free oracle
+        if path_backend == "auto":
+            from .native import available as native_available
+            path_backend = "native" if native_available() else "device"
+        self.path_backend = path_backend
+        self.max_hops = max_hops
+        self.extractor = (BatchedPathExtractor(max_hops=max_hops)
+                          if path_backend == "device" else None)
         self.entity_buckets = entity_buckets
         self.fact_buckets = fact_buckets
         self._fwd = jax.jit(
@@ -113,7 +124,14 @@ class RetrieverService:
                     "q_entity": q.get("entities", []),
                     "cand": [c for c, _ in res["cand"]],
                 })
-            all_paths = self.extractor.extract(path_qs)
+            if self.path_backend == "device":
+                all_paths = self.extractor.extract(path_qs)
+            else:
+                from .rag.graph_utils import get_truth_paths_fast
+                all_paths = [get_truth_paths_fast(pq["graph"],
+                                                  pq["q_entity"],
+                                                  pq["cand"])
+                             for pq in path_qs]
             for res, paths in zip(results, all_paths):
                 seen = []
                 for p in paths:

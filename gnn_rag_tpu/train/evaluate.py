@@ -63,6 +63,8 @@ class Evaluator:
         evaluate.py:106-137)."""
         data.reset_batches(is_sequential=True)
         num_batches = math.ceil(data.num_data / test_batch_size)
+        if num_batches == 0:
+            return 0.0, 0.0, 0.0
         ignore_prob = (1 - self.eps) / data.max_local_entity  # evaluate.py:156
         f1s, hits, ems, precisions, recalls, losses = [], [], [], [], [], []
         fout = open(info_path, "w") if (write_info and info_path) else None
@@ -78,18 +80,31 @@ class Evaluator:
             return idx, data.make_batch(idx, build_layout=build_layout,
                                         batch_pad_to=batch_pad_to)
 
+        # phase 1 — dispatch every forward WITHOUT fetching: results stay on
+        # device (a few MB for a whole split) and the chip pipelines batches
+        # back-to-back; each device->host fetch pays a tunnel round trip, so
+        # they all happen in phase 2 after the last dispatch
+        staged = []
         fut = pool.submit(build, 0)
-        for it in range(num_batches):
-            idx, batch = fut.result()
-            if it + 1 < num_batches:
-                fut = pool.submit(build, it + 1)
-            attn = None
-            if write_info and attn_forward_fn is not None:
-                loss, pred, pred_dist, attn = attn_forward_fn(batch)
-                attn = np.asarray(attn)
-            else:
-                loss, pred, pred_dist = forward_fn(batch)
+        try:
+            for it in range(num_batches):
+                idx, batch = fut.result()
+                if it + 1 < num_batches:
+                    fut = pool.submit(build, it + 1)
+                attn = None
+                if write_info and attn_forward_fn is not None:
+                    loss, pred, pred_dist, attn = attn_forward_fn(batch)
+                else:
+                    loss, pred, pred_dist = forward_fn(batch)
+                staged.append((idx, batch, loss, pred_dist, attn))
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+        # phase 2 — host-side metric extraction
+        for idx, batch, loss, pred_dist, attn in staged:
             pred_dist = np.asarray(pred_dist)
+            if attn is not None:
+                attn = np.asarray(attn)
             losses.append(float(loss))
             answers_batch = data.answers_for(idx)
             gids = np.asarray(batch.entity_gids)
@@ -127,7 +142,6 @@ class Evaluator:
                     obj["cand"] = [[self._name(c), prob] for c, prob in retrieved]
                     fout.write(json.dumps(obj) + "\n")
 
-        pool.shutdown(wait=False)
         if fout is not None:
             fout.close()
         return (float(np.mean(f1s)) if f1s else 0.0,

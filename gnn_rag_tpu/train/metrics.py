@@ -106,6 +106,44 @@ def train_batch_f1(pred_dist: np.ndarray, answer_dist: np.ndarray,
     return f1s
 
 
+def train_f1_device(pred_dist, answer_dist, h1_vec, entity_gids, seed_dist,
+                    pad_ent_id: int, eps: float):
+    """On-device vectorised twin of train_batch_f1 (base_model.py:249-285):
+    returns a [B] jnp vector of per-sample training F1.
+
+    Replicates the host semantics exactly — skip seed/pad slots, eps-floor
+    candidates, stable prob-descending sort (ties keep slot order, like the
+    reference's sorted() over the slot-ordered list), cumulative-prob cutoff
+    that includes the first crossing, and the reference's zero/empty edge
+    cases — so the training loop never has to fetch pred_dist to the host
+    (each fetch is a full round trip through the TPU tunnel)."""
+    import jax.numpy as jnp
+
+    B, E = pred_dist.shape
+    ignore_prob = (1.0 - eps) / E
+    skip = (seed_dist > 0) | (entity_gids == pad_ent_id)
+    is_ans = (~skip) & (answer_dist > 0)
+    cand = (~skip) & (pred_dist >= ignore_prob)
+    # non-candidates sort after every candidate (probs >= ignore_prob > -1)
+    sort_key = jnp.where(cand, pred_dist, -1.0)
+    order = jnp.argsort(-sort_key, axis=1, stable=True)
+    sorted_p = jnp.take_along_axis(jnp.where(cand, pred_dist, 0.0), order, 1)
+    sorted_cand = jnp.take_along_axis(cand, order, 1)
+    sorted_ans = jnp.take_along_axis(is_ans, order, 1)
+    cum = jnp.cumsum(sorted_p, axis=1)
+    # retrieved iff the cumulative mass BEFORE this candidate is <= eps
+    # (the reference appends, then breaks once tp_prob > eps)
+    in_retr = sorted_cand & ((cum - sorted_p) <= eps)
+    n_retr = in_retr.sum(axis=1)
+    correct = (in_retr & sorted_ans).sum(axis=1)
+    n_ans = is_ans.sum(axis=1)
+    p = correct / jnp.maximum(n_retr, 1)
+    r = correct / jnp.maximum(n_ans, 1)
+    f1 = jnp.where((p > 0) & (r > 0), 2.0 * p * r / (p + r), 0.0)
+    f1 = jnp.where(n_ans == 0, jnp.where(n_retr == 0, 1.0, 0.0), f1)
+    return jnp.where(h1_vec > 0, f1, 0.0)
+
+
 def cal_accuracy(pred: np.ndarray, answer_dist: np.ndarray) -> Tuple[float, float]:
     """(top-1 accuracy, answerable fraction) — evaluate.py:10-22."""
     num_correct = sum(float(answer_dist[i, l] != 0) for i, l in enumerate(pred))

@@ -26,7 +26,7 @@ from ..models import base as model_base
 from ..utils.checkpoint import load_pytree, save_pytree
 from ..utils.logging import create_logger
 from .evaluate import Evaluator
-from .metrics import train_batch_f1
+from .metrics import train_f1_device
 
 
 def build_model(cfg: Config, num_entity: int, num_kb_relation: int,
@@ -53,9 +53,13 @@ class Trainer:
                  rel_hidden=None, rel_hidden_inv=None, rel_text_mask=None,
                  entity_emb=None, word_emb=None, relation_emb=None,
                  id2entity: Optional[dict] = None, logger=None,
-                 decode_question=None, mesh=None):
+                 decode_question=None, mesh=None,
+                 lm_source: Optional[str] = None):
         self.cfg = cfg
         self.mesh = mesh
+        # weight provenance: stamped into checkpoint metadata and the .info
+        # sidecar so a silent random-init fallback is always visible
+        self.lm_source = lm_source
         self.train_data = train_data
         self.valid_data = valid_data
         self.test_data = test_data
@@ -132,7 +136,14 @@ class Trainer:
             if cfg.model.model_name != "GraftNet" else None)
 
     # ------------------------------------------------------------------ steps
-    def _train_step_impl(self, params, opt_state, rng, batch):
+    def _train_step_impl(self, params, opt_state, rng, batch, valid_w, acc):
+        """One optimisation step. All per-step metrics (H1 and the
+        eps-cumulative training F1, base_model.py:249-285) are computed ON
+        DEVICE and folded into the running ``acc`` scalars — the loop never
+        fetches a per-step array, so dispatch pipelines through the TPU
+        tunnel instead of paying a host round trip every step (each fetch
+        costs a ~30ms RTT, and can block for minutes behind other tenants
+        on a shared chip)."""
         def loss_fn(p):
             loss, pred, pred_dist = self.model.apply(
                 p, batch, *self.rel_args, training=True,
@@ -144,7 +155,13 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         h1 = model_base.calc_h1(pred_dist, batch.answer_dist)
-        return params, opt_state, loss, h1, pred_dist
+        f1 = train_f1_device(pred_dist, batch.answer_dist, h1,
+                             batch.entity_gids, batch.seed_dist,
+                             self.num_entity, self.cfg.model.eps)
+        loss_sum, h1_sum, f1_sum, n = acc
+        acc = (loss_sum + loss, h1_sum + jnp.vdot(h1, valid_w),
+               f1_sum + jnp.vdot(f1, valid_w), n + jnp.sum(valid_w))
+        return params, opt_state, acc
 
     def _eval_step_impl(self, params, batch, return_attn: bool = False):
         return self.model.apply(params, batch, *self.rel_args, training=False,
@@ -152,6 +169,13 @@ class Trainer:
 
     # ------------------------------------------------------------------ loops
     def train_epoch(self):
+        """One epoch. Returns (mean_loss, mean_h1, mean_f1) as floats.
+
+        The loop is fully asynchronous: batch assembly runs in a prefetch
+        thread, every step's metrics accumulate in device scalars, and the
+        only host<->device synchronisation is ONE fetch of the four
+        accumulator scalars at epoch end (vs the reference, whose epoch loop
+        copies per-step arrays to the host, train_model.py:209-233)."""
         cfg = self.cfg.train
         data = self.train_data
         rng_np = np.random.default_rng(int(jax.random.randint(
@@ -161,39 +185,42 @@ class Trainer:
                            bucket_size=cfg.batch_size if cfg.bucket_batches
                            else None)
         num_batches = math.ceil(data.num_data / cfg.batch_size)
-        losses, h1_all, f1_all = [], [], []
         build_layout = self.build_layout
 
-        # one-deep host prefetch: batch assembly (numpy padding + layout
-        # packing, the dominant cost on a 1-core host) overlaps the device
-        # step — the async dispatch returns before the TPU finishes, so the
-        # next make_batch runs while the chip computes
+        # one-deep host prefetch: batch assembly overlaps the device step —
+        # the async dispatch returns before the TPU finishes, so the next
+        # make_batch runs while the chip computes
         def build(it):
             idx = data.batch_indices(it, cfg.batch_size)
             return idx, data.make_batch(idx, batch_pad_to=cfg.batch_size,
                                         build_layout=build_layout)
 
+        zero = jnp.zeros((), jnp.float32)
+        acc = (zero, zero, zero, zero)
+        if num_batches == 0:
+            return 0.0, 0.0, 0.0
         fut = self._prefetch.submit(build, 0)
-        for it in range(num_batches):
-            idx, batch = fut.result()
+        try:
+            for it in range(num_batches):
+                idx, batch = fut.result()
+                if it + 1 < num_batches:
+                    fut = self._prefetch.submit(build, it + 1)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    batch = shard_batch(self.mesh, batch)
+                valid_w = np.zeros(batch.answer_dist.shape[0], np.float32)
+                valid_w[: len(idx)] = 1.0
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.params, self.opt_state, acc = self._train_step(
+                    self.params, self.opt_state, step_rng, batch, valid_w,
+                    acc)
+        except Exception:
             if it + 1 < num_batches:
-                fut = self._prefetch.submit(build, it + 1)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-                batch = shard_batch(self.mesh, batch)
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, loss, h1, pred_dist = self._train_step(
-                self.params, self.opt_state, step_rng, batch)
-            losses.append(float(loss))
-            h1_np = np.asarray(h1)[: len(idx)]
-            h1_all.extend(h1_np.tolist())
-            f1_all.extend(train_batch_f1(
-                np.asarray(pred_dist)[: len(idx)],
-                np.asarray(batch.answer_dist)[: len(idx)], h1_np,
-                np.asarray(batch.entity_gids)[: len(idx)],
-                np.asarray(batch.seed_dist)[: len(idx)],
-                self.num_entity, self.cfg.model.eps))
-        return float(np.mean(losses)), h1_all, f1_all
+                fut.cancel()
+            raise
+        loss_sum, h1_sum, f1_sum, n = jax.device_get(acc)
+        n = max(float(n), 1.0)
+        return float(loss_sum) / num_batches, float(h1_sum) / n, float(f1_sum) / n
 
     def evaluate(self, data: KGQADataset, test_batch_size: Optional[int] = None,
                  write_info: bool = False, info_path: Optional[str] = None,
@@ -237,15 +264,14 @@ class Trainer:
             if epoch == start_epoch and cfg.profile_dir:
                 from ..utils.profiling import trace
                 with trace(cfg.profile_dir):
-                    loss, h1_list, f1_list = self.train_epoch()
+                    loss, h1, f1 = self.train_epoch()
                 self.logger.info("profiler trace written to %s",
                                  cfg.profile_dir)
             else:
-                loss, h1_list, f1_list = self.train_epoch()
+                loss, h1, f1 = self.train_epoch()
             self.logger.info("Epoch: %d, loss: %.4f, time: %.1fs",
                              epoch + 1, loss, time.time() - st)
-            self.logger.info("Training h1: %.4f, f1: %.4f",
-                             float(np.mean(h1_list)), float(np.mean(f1_list)))
+            self.logger.info("Training h1: %.4f, f1: %.4f", h1, f1)
             if (epoch + 1) % cfg.eval_every == 0:
                 eval_f1, eval_h1, eval_em = self.evaluate(self.valid_data)
                 self.logger.info("EVAL F1: %.4f, H1: %.4f, EM: %.4f",
@@ -285,6 +311,9 @@ class Trainer:
         info_path = info_path or os.path.join(
             self.cfg.train.checkpoint_dir,
             f"{self.cfg.train.experiment_name}_test.info")
+        # provenance sidecar (NOT a header line inside the .info — the LLM
+        # half consumes .info by line order, predict_answer.py:63-66)
+        self._write_provenance(info_path + ".meta.json")
         te = self.evaluate(self.test_data, write_info=True, info_path=info_path,
                            write_attention=write_attention)
         self.logger.info("TEST F1: %.4f, H1: %.4f, EM: %.4f", *te)
@@ -299,7 +328,20 @@ class Trainer:
     def save_ckpt(self, reason: str = "h1"):
         path = self._ckpt_path(reason)
         save_pytree(path, self.params)
+        self._write_provenance(path + ".meta.json")
         self.logger.info("Best %s, saved model as %s", reason, path)
+
+    def _write_provenance(self, path: str):
+        import json
+        meta = {"experiment_name": self.cfg.train.experiment_name,
+                "model": self.cfg.model.model_name,
+                "lm": self.cfg.model.lm,
+                "lm_weight_source": self.lm_source or "unspecified"}
+        try:
+            with open(path, "w") as f:
+                json.dump(meta, f, indent=1)
+        except OSError:
+            pass
 
     def seed_submodule(self, name: str, src_params):
         """Overlay a flax param subtree (e.g. the in-model LM at

@@ -73,9 +73,9 @@ def train_step_at(ctx: int, condense: float, use_flash: bool,
                       remat=remat, dtype="bfloat16")
     model = LlamaLM(cfg)
     # ctx+1 raw tokens so the shifted model input tokens[:, :-1] is exactly
-    # `ctx` long — a 128-multiple, required for the flash dispatch
-    # (model.py use_flash condition); ctx+1 would silently fall back to the
-    # dense [L, S] attention path
+    # `ctx` long — a 128-multiple, so the flash kernel needs no length
+    # padding (model.py pads non-multiples up to the 128 tile and stays on
+    # flash; the ctx+1 construction just avoids that pad overhead)
     tokens = jnp.zeros((1, ctx + 1), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens[:, :-1])
     mask = jnp.ones((1, ctx + 1), jnp.float32)
