@@ -325,17 +325,24 @@ def main():
     # wall-time bounded
     try:
         import os
-        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "docs", "training_r02.json")
+        here = os.path.dirname(os.path.abspath(__file__))
+        art = None
+        for name in ("training_r03.json", "training_r02.json"):
+            cand = os.path.join(here, "docs", name)
+            if os.path.exists(cand):
+                art = cand
+                break
         with open(art) as f:
             t = json.load(f)
         extra["trained_quality_synthqsp"] = {
-            "source": "docs/training_r02.json",
+            "source": "docs/" + os.path.basename(art),
             "test_h1": t["training"].get("test_h1"),
             "test_f1": t["training"].get("test_f1"),
             "answer_recall": t["retrieval"]["mean_answer_recall"],
             "rag_hit_pct": t["rag"]["eval_result"].get("Hit"),
             "epochs_per_hour": t["training"].get("epochs_per_hour"),
+            "end_to_end_train_sgps": t["training"].get(
+                "train_subgraphs_per_sec"),
         }
     except Exception as exc:
         log("no trained-quality artifact:", exc)

@@ -50,12 +50,29 @@ class Scale:
     n_decoys_per_hop: int = 3
     max_answers: int = 4
     hop_mix: tuple = HOP_MIX
+    multi_token_rels: bool = False
 
 
 TINY = Scale(n_train=48, n_dev=8, n_test=16, num_global_entities=2000,
              num_relations=24, ent_log_mean=3.3, ent_log_sigma=0.4,
              ent_min=12, ent_max=64, facts_per_entity=2.0,
              n_decoys_per_hop=2, max_answers=2)
+
+# SynthFB: the Freebase-vocabulary-scale proxy (VERDICT r2 #6) — same
+# subgraph shapes as SynthQSP but with a ~6k-relation vocabulary carrying
+# MULTI-TOKEN surface forms (the [R+1, Lr, 384] rel_hidden table and the
+# rel-text attention run at real WebQSP size; WebQSP's Freebase split uses
+# ~6k distinct relations) and a 1M-entity global vocabulary. Scale runs on
+# it additionally enable --fact_drop 0.1 and --lm_frozen 0, matching the
+# reference's training regularisers (gnn/parsing.py:51).
+FB_WORDS_A = ("inner", "outer", "prime", "dual", "meta", "core", "left",
+              "right", "upper", "lower", "first", "last", "main", "side",
+              "twin", "base", "peak", "edge", "apex", "root")
+FB_WORDS_B = ("origin", "target", "member", "holder", "partner", "region",
+              "artifact", "agent", "basis", "unit", "event", "place",
+              "title", "group", "order", "series", "field", "stage",
+              "branch", "node")
+
 
 # SynthCWQ: the CWQ-flavoured proxy — more questions, bigger/more-skewed
 # subgraphs, compositional-heavy hop mix (CWQ is built by composing WebQSP
@@ -66,8 +83,21 @@ CWQ = Scale(n_train=2000, n_dev=200, n_test=500,
             facts_per_entity=2.6, n_decoys_per_hop=4,
             hop_mix=((1, 0.12), (2, 0.45), (3, 0.30), (4, 0.13)))
 
+FB = Scale(n_train=1500, n_dev=150, n_test=350,
+           num_global_entities=1_000_000, num_relations=6000,
+           multi_token_rels=True)
 
-def rel_name(r: int) -> str:
+
+def rel_name(r: int, multi: bool = False) -> str:
+    if multi:
+        # Freebase-like dotted path whose last two fields carry distinct
+        # multi-word surface forms (e.g. syn.field_12.inner_origin_417):
+        # the loader's last-two-dot-fields rule (rel_text.relation_words)
+        # verbalises it to 5 word tokens, exercising the real [R+1, Lr, D]
+        # rel_hidden attention instead of a near-degenerate 4-token form
+        a = FB_WORDS_A[r % len(FB_WORDS_A)]
+        b = FB_WORDS_B[(r // len(FB_WORDS_A)) % len(FB_WORDS_B)]
+        return f"syn.{FB_WORDS_B[r % 7]}_{r % 40}.{a}_{b}_{r}"
     # verbalises to words ["domain", str(d), "rel", str(r)] via the loader's
     # last-two-dot-fields rule (rel_text.relation_words)
     return f"syn.domain_{r % 20}.rel_{r}"
@@ -144,7 +174,7 @@ def gen_question(rng: np.random.Generator, qid: int, sc: Scale) -> dict:
     # ---- local -> global entity names ----
     gids = rng.choice(sc.num_global_entities, size=ne, replace=False)
     names = [ent_name(int(g)) for g in gids]
-    tuples = [[names[h], rel_name(r), names[t]]
+    tuples = [[names[h], rel_name(r, sc.multi_token_rels), names[t]]
               for h, r, t in zip(heads, rels, tails)]
     answers = [{"kb_id": names[first_ans + a], "text": names[first_ans + a]}
                for a in range(n_answers)]
@@ -166,7 +196,8 @@ def generate(out_dir: str, sc: Scale = Scale(), seed: int = 0,
     with open(os.path.join(out_dir, "entities.txt"), "w") as f:
         f.write("\n".join(ent_name(g) for g in range(sc.num_global_entities)) + "\n")
     with open(os.path.join(out_dir, "relations.txt"), "w") as f:
-        f.write("\n".join(rel_name(r) for r in range(sc.num_relations)) + "\n")
+        f.write("\n".join(rel_name(r, sc.multi_token_rels)
+                           for r in range(sc.num_relations)) + "\n")
     words = sorted({"what", "is", "then", "of", "seed", "rel"}
                    | {str(r) for r in range(sc.num_relations)})
     with open(os.path.join(out_dir, "vocab.txt"), "w") as f:
@@ -204,11 +235,15 @@ def main(argv=None):
                     help="micro scale for tests")
     ap.add_argument("--cwq", action="store_true",
                     help="CWQ-flavoured scale (bigger, compositional-heavy)")
+    ap.add_argument("--fb", action="store_true",
+                    help="Freebase-vocabulary scale (6k multi-token "
+                         "relations, 1M entities)")
     ap.add_argument("--n_train", type=int, default=None)
     ap.add_argument("--n_dev", type=int, default=None)
     ap.add_argument("--n_test", type=int, default=None)
     args = ap.parse_args(argv)
-    sc = TINY if args.tiny else (CWQ if args.cwq else Scale())
+    sc = (TINY if args.tiny else CWQ if args.cwq
+          else FB if args.fb else Scale())
     for k in ("n_train", "n_dev", "n_test"):
         v = getattr(args, k)
         if v is not None:

@@ -42,6 +42,28 @@ PRESETS = {
                 "inverse=off, 1-4 hop mix)",
         hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
               "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19)"),
+    "synthqsp_r03": dict(
+        data="data/synthqsp", ckpt_dir="checkpoints/synthqsp_r03",
+        exp="synthqsp_r03", out="docs/training_r03.json",
+        n_train=1500, train_log="/tmp/train_r03.log",
+        model_args=["--num_iter", "3", "--num_ins", "2"],
+        dataset="SynthQSP (reference-scale proxy: 1500/150/350 questions, "
+                "lognormal subgraphs ~E1900/F~10k incl. self-loops+"
+                "inverse=off, 1-4 hop mix)",
+        hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19); r03 v4 "
+              "kernels + async epoch loop"),
+    "synthfb": dict(
+        data="data/synthfb", ckpt_dir="checkpoints/synthfb",
+        exp="synthfb", out="docs/training_fb_r03.json",
+        n_train=1500, train_log="/tmp/train_fb.log",
+        model_args=["--num_iter", "3", "--num_ins", "2",
+                    "--lm_frozen", "0"],
+        dataset="SynthFB (Freebase-vocabulary proxy: 6k multi-token "
+                "relations, 1M-entity global vocab, SynthQSP subgraph "
+                "shapes; scale runs add --fact_drop 0.1 --lm_frozen 0)",
+        hyper="ReaRev published WebQSP hyperparameters + fact_drop 0.1 + "
+              "lm_frozen 0 (gnn/parsing.py:51, bert_encoder.py:80-87)"),
     "synthcwq": dict(
         data="data/synthcwq", ckpt_dir="checkpoints/synthcwq",
         exp="rearev_synthcwq_r2", out="docs/training_cwq_r02.json",
@@ -112,14 +134,16 @@ def build_llm_test_json(out_path: str):
     return n
 
 
-def rag_stage(info_path: str, qa_path: str, out_dir: str) -> dict:
+def rag_stage(info_path: str, qa_path: str, out_dir: str,
+              model_name: str = "mock", model_path: str = None) -> dict:
     from gnn_rag_tpu.rag.evaluate_multi_hop import eval_result_multi_hop
     from gnn_rag_tpu.rag.evaluate_results import eval_result
     from gnn_rag_tpu.rag.predict import PredictConfig, predict_answers
 
     t0 = time.perf_counter()
     out = predict_answers(PredictConfig(
-        data_path=qa_path, model_name="mock", predict_path=out_dir,
+        data_path=qa_path, model_name=model_name, model_path=model_path,
+        predict_path=out_dir, max_new_tokens=64 if model_path else 512,
         prompt_path="prompts/llama2_predict.txt", rule_path_g1=info_path,
         entities_names_path=None, force=True))
     seconds = time.perf_counter() - t0
@@ -174,6 +198,10 @@ def main():
     ap.add_argument("--train_log", default=None)
     ap.add_argument("--skip_eval", action="store_true",
                     help="reuse an existing .info export")
+    ap.add_argument("--reader_path", default=None,
+                    help="dir with a trained llm_tpu reader (config.json + "
+                         "checkpoint/): adds a rag_trained_reader stage "
+                         "next to the mock-reader numbers")
     args = ap.parse_args()
     preset = PRESETS[args.preset]
     DATA, CKPT_DIR, EXP = preset["data"], preset["ckpt_dir"], preset["exp"]
@@ -194,6 +222,12 @@ def main():
     n = build_llm_test_json(qa_path)
     log(f"LLM-side test.json: {n} questions; running RAG stage...")
     res["rag"] = rag_stage(info_path, qa_path, os.path.join(CKPT_DIR, "rag"))
+
+    if args.reader_path:
+        log("RAG stage with the TRAINED on-chip reader...")
+        res["rag_trained_reader"] = rag_stage(
+            info_path, qa_path, os.path.join(CKPT_DIR, "rag_trained"),
+            model_name="llama_tpu", model_path=args.reader_path)
 
     with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)
