@@ -80,10 +80,11 @@ class LlamaTPU(BaseLanguageModel):
         return len(self.tok.encode(text))
 
     def generate_sentence(self, llm_input: str) -> str:
+        # Decoder.greedy returns the NEW tokens only (generate.py contract)
         ids = self.tok.encode(llm_input)[-self.maximun_token:]
         out = self.decoder.greedy(ids, max_new_tokens=self.max_new,
                                   eos_id=self.tok.eos_id)
-        return self.tok.decode(out[len(ids):]).strip()
+        return self.tok.decode(out).strip()
 
     def generate_batch(self, llm_inputs: List[str]) -> List[str]:
         prompts = [self.tok.encode(t)[-self.maximun_token:]
@@ -91,5 +92,4 @@ class LlamaTPU(BaseLanguageModel):
         outs = self.decoder.greedy_batch(prompts,
                                          max_new_tokens=self.max_new,
                                          eos_id=self.tok.eos_id)
-        return [self.tok.decode(o[len(p):]).strip()
-                for p, o in zip(prompts, outs)]
+        return [self.tok.decode(o).strip() for o in outs]
