@@ -52,6 +52,10 @@ def _load():
                                     ctypes.c_int32, ctypes.c_int32,
                                     ctypes.c_int32, ctypes.c_uint64,
                                     ctypes.c_void_p]
+    lib.gp_intern.restype = ctypes.c_int64
+    lib.gp_intern.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -174,6 +178,27 @@ class NativeGraph:
         return dist
 
 
+def _intern_native(strs: List[str]):
+    """(values_in_first_occurrence_order, int32 id_per_element) via
+    gp_intern — the native equivalent of sequential
+    `dict.setdefault(v, len(dict))` interning. Raises TypeError on
+    non-string items and ValueError on embedded NULs (callers fall back
+    to the Python dict loop)."""
+    lib = _load()
+    buf = "\0".join(strs).encode("utf-8") + b"\0"
+    if buf.count(b"\0") != len(strs):
+        raise ValueError("embedded NUL in keys")
+    out_ids = np.empty(len(strs), np.int32)
+    out_first = np.empty(len(strs), np.int32)
+    n_uniq = lib.gp_intern(buf, len(buf), len(strs),
+                           out_ids.ctypes.data_as(ctypes.c_void_p),
+                           out_first.ctypes.data_as(ctypes.c_void_p),
+                           len(strs))
+    if n_uniq < 0:
+        raise ValueError("gp_intern failed")
+    return [strs[i] for i in out_first[:n_uniq]], out_ids
+
+
 def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
                        q_entities: Sequence[str], answers: Sequence[str],
                        max_paths_per_pair: int = 10_000
@@ -182,33 +207,51 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
     the library is unavailable."""
     if not available():
         return None
-    node_id: Dict[str, int] = {}
-    rel_id: Dict[str, int] = {}
     n = len(triples)
-    heads_a = np.empty(n, np.int32)
-    rels_a = np.empty(n, np.int32)
-    tails_a = np.empty(n, np.int32)
-    ng = nr = 0
-    for i, (h, r, t) in enumerate(triples):
-        v = node_id.get(h)
-        if v is None:
-            v = node_id[h] = ng
-            ng += 1
-        heads_a[i] = v
-        r = r.strip() if isinstance(r, str) else r
-        v = rel_id.get(r)
-        if v is None:
-            v = rel_id[r] = nr
-            nr += 1
-        rels_a[i] = v
-        v = node_id.get(t)
-        if v is None:
-            v = node_id[t] = ng
-            ng += 1
-        tails_a[i] = v
+    try:
+        # C++ interning (gp_intern): join every string into one
+        # NUL-separated utf-8 buffer, hash string_views into it natively.
+        # First-occurrence id order — bitwise-identical ids (and therefore
+        # path enumeration order) to the old per-edge dict loop, which at
+        # 8k triples cost ~3x the actual C++ BFS.
+        node_strs = [t[0] for t in triples] + [t[2] for t in triples]
+        rel_strs = [t[1].strip() if isinstance(t[1], str) else t[1]
+                    for t in triples]
+        id_node, node_ids = _intern_native(node_strs)
+        id_rel, rel_ids = _intern_native(rel_strs)
+        heads_a = node_ids[:n]
+        tails_a = node_ids[n:]
+        rels_a = rel_ids
+        ng = len(id_node)
+        node_id: Dict[str, int] = {s: i for i, s in enumerate(id_node)}
+    except (TypeError, AttributeError, ValueError):
+        # non-uniformly-typed keys (unsortable mix) — dict interning
+        node_id = {}
+        rel_id: Dict[str, int] = {}
+        heads_a = np.empty(n, np.int32)
+        rels_a = np.empty(n, np.int32)
+        tails_a = np.empty(n, np.int32)
+        ng = nr = 0
+        for i, (h, r, t) in enumerate(triples):
+            v = node_id.get(h)
+            if v is None:
+                v = node_id[h] = ng
+                ng += 1
+            heads_a[i] = v
+            r = r.strip() if isinstance(r, str) else r
+            v = rel_id.get(r)
+            if v is None:
+                v = rel_id[r] = nr
+                nr += 1
+            rels_a[i] = v
+            v = node_id.get(t)
+            if v is None:
+                v = node_id[t] = ng
+                ng += 1
+            tails_a[i] = v
+        id_node = list(node_id)
+        id_rel = list(rel_id)
     g = NativeGraph(heads_a, rels_a, tails_a, ng)
-    id_node = list(node_id)
-    id_rel = list(rel_id)
     out: List[List[Tuple[str, str, str]]] = []
     dst_ids = [node_id[t] for t in answers if t in node_id]
     for h in q_entities:

@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <string_view>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -40,40 +42,51 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
                int64_t n_edges, int32_t n_nodes) {
   auto* g = new Graph();
   g->n_nodes = n_nodes;
-  // sort-based CSR build with last-wins dedup of undirected pairs (the
-  // old per-node hash maps spent the whole build in allocator churn)
-  struct Entry { int64_t key; int64_t order; int32_t rel; };
-  std::vector<Entry> entries;
-  entries.reserve(2 * n_edges);
+  // Two-pass counting-sort CSR build (O(E + V), replaces the r03 std::sort
+  // O(E log E) which was ~40% of truth_paths time at 8k-triple graphs),
+  // with last-wins dedup of undirected parallel edges. Neighbor order
+  // within a row is first-occurrence input order (deterministic; the
+  // Python oracle's dict order is likewise insertion order).
+  std::vector<int32_t> cnt(n_nodes + 1, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int32_t h = heads[i], t = tails[i];
+    if (h < 0 || h >= n_nodes || t < 0 || t >= n_nodes) continue;
+    ++cnt[h + 1];
+    ++cnt[t + 1];
+  }
+  for (int32_t u = 0; u < n_nodes; ++u) cnt[u + 1] += cnt[u];
+  int64_t total = cnt[n_nodes];
+  std::vector<int32_t> col(total), rel(total);
+  std::vector<int32_t> cursor(cnt.begin(), cnt.end() - 1);
   for (int64_t i = 0; i < n_edges; ++i) {
     int32_t h = heads[i], t = tails[i], r = rels[i];
     if (h < 0 || h >= n_nodes || t < 0 || t >= n_nodes) continue;
-    entries.push_back({static_cast<int64_t>(h) * n_nodes + t, i, r});
-    entries.push_back({static_cast<int64_t>(t) * n_nodes + h, i, r});
+    col[cursor[h]] = t; rel[cursor[h]] = r; ++cursor[h];
+    col[cursor[t]] = h; rel[cursor[t]] = r; ++cursor[t];
   }
-  std::sort(entries.begin(), entries.end(),
-            [](const Entry& a, const Entry& b) {
-              return a.key != b.key ? a.key < b.key : a.order < b.order;
-            });
+  // per-row dedup keeping the LAST input occurrence's relation; epoch-
+  // stamped slot map avoids clearing an n_nodes array per row
+  std::vector<int32_t> stamp(n_nodes, -1);
+  std::vector<int64_t> slot_of(n_nodes, 0);
   g->row_ptr.assign(n_nodes + 1, 0);
-  // dedup: keep the LAST input occurrence of each (u, v) pair
-  int64_t m = 0;
-  for (int64_t i = 0; i < static_cast<int64_t>(entries.size()); ++i) {
-    if (i + 1 < static_cast<int64_t>(entries.size()) &&
-        entries[i + 1].key == entries[i].key)
-      continue;
-    entries[m++] = entries[i];
+  g->col.reserve(total);
+  g->rel.reserve(total);
+  for (int32_t u = 0; u < n_nodes; ++u) {
+    int64_t row_start = static_cast<int64_t>(g->col.size());
+    for (int64_t k = cnt[u]; k < cnt[u + 1]; ++k) {
+      int32_t v = col[k];
+      if (stamp[v] == u) {
+        g->rel[slot_of[v]] = rel[k];  // parallel edge: last one wins
+      } else {
+        stamp[v] = u;
+        slot_of[v] = static_cast<int64_t>(g->col.size());
+        g->col.push_back(v);
+        g->rel.push_back(rel[k]);
+      }
+    }
+    g->row_ptr[u + 1] = g->row_ptr[u]
+        + (static_cast<int64_t>(g->col.size()) - row_start);
   }
-  entries.resize(m);
-  g->col.resize(m);
-  g->rel.resize(m);
-  for (int64_t i = 0; i < m; ++i) {
-    int32_t u = static_cast<int32_t>(entries[i].key / n_nodes);
-    g->col[i] = static_cast<int32_t>(entries[i].key % n_nodes);
-    g->rel[i] = entries[i].rel;
-    ++g->row_ptr[u + 1];
-  }
-  for (int32_t u = 0; u < n_nodes; ++u) g->row_ptr[u + 1] += g->row_ptr[u];
   return g;
 }
 
@@ -319,6 +332,36 @@ void gp_bfs_dist(void* graph, const int32_t* sources, int32_t n_sources,
       }
     }
   }
+}
+
+// String interning for the truth_paths wrapper: `buf` holds n_items
+// NUL-terminated utf-8 strings back to back. Writes the first-occurrence-
+// order id of every item to out_ids[n_items] and, for each new id, the item
+// index of its first occurrence to out_first (so the caller can map ids
+// back to its own string objects without copies). Returns the number of
+// unique strings, or -1 if out_first (capacity cap_first) is too small.
+// Python-side dict interning of 24k strings per question cost ~3x the
+// actual BFS; hashing string_views into the caller's buffer is ~10x faster.
+int64_t gp_intern(const char* buf, int64_t buf_len, int64_t n_items,
+                  int32_t* out_ids, int32_t* out_first, int64_t cap_first) {
+  std::unordered_map<std::string_view, int32_t> table;
+  table.reserve(static_cast<size_t>(n_items));
+  const char* p = buf;
+  const char* end = buf + buf_len;
+  int32_t next_id = 0;
+  for (int64_t i = 0; i < n_items; ++i) {
+    if (p >= end) return -2;  // malformed buffer
+    size_t len = strnlen(p, static_cast<size_t>(end - p));
+    auto [it, inserted] = table.emplace(std::string_view(p, len), next_id);
+    if (inserted) {
+      if (next_id >= cap_first) return -1;
+      out_first[next_id] = static_cast<int32_t>(i);
+      ++next_id;
+    }
+    out_ids[i] = it->second;
+    p += len + 1;
+  }
+  return next_id;
 }
 
 }  // extern "C"
