@@ -347,6 +347,28 @@ def main():
     except Exception as exc:
         log("no trained-quality artifact:", exc)
 
+    # 7B-config rows: loaded from the on-chip study artifact
+    # (scripts/llm7b_study.py measures prefill/decode/HBM with random bf16
+    # weights at the exact LLaMA2-7B architecture) — not re-measured here:
+    # 13.4GB of params on the shared 16GB chip would make bench flaky
+    try:
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "llm7b_r03.json")) as f:
+            s = json.load(f)
+        extra["llama7b_config"] = {
+            "source": "docs/llm7b_r03.json",
+            "param_gb": s["param_gb"],
+            "prefill_2048_ms": s["prefill"]["2048"]["ms"],
+            "prefill_2048_tokens_per_s":
+                s["prefill"]["2048"]["prefill_tokens_per_s"],
+            "greedy_decode_tokens_per_s":
+                s["greedy_decode"]["tokens_per_s"],
+            "decode_hbm_peak_gb": s["greedy_decode"]["hbm_peak_gb"],
+        }
+    except Exception as exc:
+        log("no 7B study artifact:", exc)
+
     tpu = webqsp["fwd_subgraphs_per_s"]
     base = bench_torch_reference_style()
     print(json.dumps({

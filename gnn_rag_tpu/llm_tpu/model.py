@@ -32,6 +32,15 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
     use_flash: bool = True          # Pallas flash attention when shapes allow
+    tie_embeddings: bool = False    # logits = h @ tok_emb.T (no lm_head).
+                                    # LLaMA itself unties, but tying is what
+                                    # makes RARE-token copying learnable for
+                                    # the closed-vocab trained reader: random
+                                    # 384-dim embeddings are quasi-orthogonal,
+                                    # so routing an attended token's embedding
+                                    # to the residual already yields the right
+                                    # argmax — with untied heads both matrices
+                                    # would need training for every entity id.
     remat: bool = False             # rematerialise each block's activations
                                     # in backward (jax.checkpoint): trades
                                     # FLOPs for HBM, required for 16k-context
@@ -204,8 +213,9 @@ class LlamaLM(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
             if cache_index is not None:
                 positions = positions + cache_index
-        x = nn.Embed(cfg.vocab_size, cfg.dim, name="tok_emb",
-                     dtype=getattr(jnp, cfg.dtype))(tokens)
+        emb = nn.Embed(cfg.vocab_size, cfg.dim, name="tok_emb",
+                       dtype=getattr(jnp, cfg.dtype))
+        x = emb(tokens)
         cos, sin = rope_frequencies(cfg.head_dim, positions, cfg.rope_theta,
                                     cfg.rope_condense)
         cos = cos.astype(x.dtype)
@@ -225,8 +235,14 @@ class LlamaLM(nn.Module):
         caches = new_caches if kv_caches is not None else None
         if return_hidden:
             return x, caches
-        logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(
-            x.astype(jnp.float32))
+        if cfg.tie_embeddings:
+            # f32 matmul against the f32 embedding param (Embed.attend would
+            # round both sides to cfg.dtype — bf16 logits over a 30k+ vocab)
+            logits = x.astype(jnp.float32) @ emb.embedding.astype(
+                jnp.float32).T
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False,
+                              name="lm_head")(x.astype(jnp.float32))
         return logits, caches
 
     def init_kv_cache(self, batch_size: int, max_len: int):

@@ -91,7 +91,10 @@ def chunked_completion_loss(model, params, tokens, loss_mask,
     through the lm_head keeps only [chunk, vocab] alive; the checkpoint makes
     the backward recompute each chunk's logits instead of stashing them."""
     hidden, _ = model.apply(params, tokens[:, :-1], return_hidden=True)
-    w = params["params"]["lm_head"]["kernel"]            # [D, V]
+    if getattr(model.cfg, "tie_embeddings", False):
+        w = params["params"]["tok_emb"]["embedding"].T   # [D, V] (tied)
+    else:
+        w = params["params"]["lm_head"]["kernel"]        # [D, V]
     targets, mask = tokens[:, 1:], loss_mask[:, 1:]
     B, L, D = hidden.shape
     pad = (-L) % chunk

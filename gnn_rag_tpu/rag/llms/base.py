@@ -26,3 +26,9 @@ class BaseLanguageModel:
 
     def generate_sentence(self, llm_input: str):
         raise NotImplementedError
+
+    def generate_batch(self, llm_inputs):
+        """Batched generation; backends with a device-batched decoder
+        (llama_tpu) override this — the default just loops, so
+        PredictConfig.batch_size>1 works against any backend."""
+        return [self.generate_sentence(t) for t in llm_inputs]

@@ -143,9 +143,10 @@ def rag_stage(info_path: str, qa_path: str, out_dir: str,
     t0 = time.perf_counter()
     out = predict_answers(PredictConfig(
         data_path=qa_path, model_name=model_name, model_path=model_path,
-        predict_path=out_dir, max_new_tokens=64 if model_path else 512,
+        predict_path=out_dir, max_new_tokens=16 if model_path else 512,
         prompt_path="prompts/llama2_predict.txt", rule_path_g1=info_path,
-        entities_names_path=None, force=True))
+        entities_names_path=None, force=True,
+        batch_size=16 if model_path else 1))
     seconds = time.perf_counter() - t0
     summary = eval_result(out)
     toks = summary.split()

@@ -29,50 +29,128 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_texts(data_dir: str, split: str, budget: int, tok) -> list:
-    """SynthQSP split -> llama2 QA SFT texts with ground-truth paths
-    (finetune.data_prep.preprocess_qa flow, in memory)."""
-    from gnn_rag_tpu.finetune.data_prep import format_qa_example
+def build_texts(data_dir: str, split: str, budget: int, tok,
+                rng=None) -> list:
+    """KGQA split -> llama2 QA SFT texts in the SERVING distribution: the
+    prompt is built by the same PromptBuilder `cand` path predict.py uses
+    (shortest paths from question entities to a candidate set), with the
+    candidate set = gold answers + random distractor entities — so the
+    reader learns to SELECT the tails whose relation chain matches the
+    question, not to memorise answers (the failure mode of ground-truth-
+    only prompts on a small set)."""
     from gnn_rag_tpu.rag.prompt_builder import PromptBuilder
 
-    builder = PromptBuilder("prompts/llama2_predict.txt", add_rule=True,
-                            use_true=True, maximun_token=budget,
+    rng = rng or np.random.default_rng(0)
+    builder = PromptBuilder("prompts/llama2_predict.txt", add_rule=False,
+                            maximun_token=budget,
                             tokenize=lambda t: len(tok.encode(t)))
     texts = []
+    n_seen = n_dropped = 0
     with open(os.path.join(data_dir, f"{split}.json")) as f:
         for line in f:
             q = json.loads(line)
             answers = [a["text"] for a in q["answers"]]
+            ents = q["subgraph"]["entities"]
+            n_d = int(rng.integers(1, 5))
+            distractors = [ents[i] for i in
+                           rng.integers(0, len(ents), n_d).tolist()]
+            cand = answers + [d for d in distractors if d not in answers]
             ex = {"id": q["id"], "question": q["question"],
                   "answer": answers, "q_entity": q["entities"],
                   "a_entity": answers, "graph": q["subgraph"]["tuples"],
-                  "choices": []}
-            texts.append(format_qa_example(ex, builder)["text"])
+                  "cand": cand, "choices": []}
+            prompt = builder.process_input(ex)
+            n_seen += 1
+            # GROUND the target: the shuffle-truncation (reference parity,
+            # build_qa_input.py:164-181) can drop answer paths, and a target
+            # absent from the prompt teaches the reader to HALLUCINATE
+            # entity ids (measured: ~42% of examples, loss floor 1.14,
+            # serving Hit1 28.6%). Keep only answers present in the built
+            # prompt, ordered by prompt position (sequential copying), and
+            # drop examples whose prompt carries no answer at all.
+            grounded = sorted((a for a in answers if a in prompt),
+                              key=prompt.index)
+            if not grounded:
+                n_dropped += 1
+                continue
+            texts.append(prompt + " " + "\n".join(grounded) + "</s>")
+    log(f"{data_dir}/{split}: {n_seen} questions -> {len(texts)} grounded "
+        f"texts ({n_dropped} dropped, no answer survived truncation)")
     return texts
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data/synthqsp")
+    ap.add_argument("--gen_train", type=int, default=0,
+                    help=">0: generate this many EXTRA reader-training "
+                         "questions (small subgraphs — the prompt only "
+                         "carries paths) instead of relying on the 1.5k "
+                         "GNN training split alone")
     ap.add_argument("--out", default="checkpoints/reader_tiny")
+    ap.add_argument("--variants", type=int, default=2,
+                    help="prompt variants per question (distractor+shuffle "
+                         "re-rolls) — the anti-memorisation lever")
     ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--max_seq", type=int, default=1024)
+    ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--layers", type=int, default=6)
     args = ap.parse_args()
 
+    import re
+
     from gnn_rag_tpu.llm_tpu.model import LlamaConfig
     from gnn_rag_tpu.llm_tpu.sft import SFTConfig, SFTTrainer, pack_examples
-    from gnn_rag_tpu.rag.llms.llama_tpu import ByteTokenizer
+    from gnn_rag_tpu.rag.llms.llama_tpu import WordTokenizer
 
-    tok = ByteTokenizer()
-    budget = args.max_seq - 160       # leave room for the answer span
+    # Pass 1 builds texts with a tokenizer-independent chunk count (equal to
+    # the WordTokenizer token count for in-vocab text); the tokenizer itself
+    # is then fit on the texts plus the FULL KG vocabulary, so test-split
+    # entities the reader must copy at serving time are single tokens too.
+    class _ChunkCount:
+        def encode(self, t, add_bos=True):
+            return re.findall(r"\S+|\s+", t)
+
+    budget = args.max_seq - 48        # answers are ~2 tokens each now
     t0 = time.time()
-    texts = build_texts(args.data, "train", budget, tok)
-    log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; packing...")
+    # Each variant re-rolls the distractor candidates AND the truncation
+    # shuffle, so a question never repeats with the same prompt surface.
+    # One fixed text per question taught pure sequence memorisation (24k
+    # steps -> train-batch loss 0.66 but 5.2 on the same questions with
+    # re-rolled prompts, Hit1 ~0); prompt variety forces the relation-
+    # match-and-copy circuit, which is the only representation that
+    # transfers across variants.
+    texts = []
+    for v in range(max(args.variants, 1)):
+        texts += build_texts(args.data, "train", budget, _ChunkCount(),
+                             rng=np.random.default_rng(v))
+    if args.gen_train:
+        import tempfile
+
+        from gnn_rag_tpu.utils import refbench
+        gen_dir = tempfile.mkdtemp(prefix="reader_gen_")
+        sc = refbench.Scale(n_train=args.gen_train, n_dev=1, n_test=1,
+                            ent_log_mean=5.2, ent_log_sigma=0.5,
+                            ent_min=48, ent_max=700)
+        refbench.generate(gen_dir, sc, seed=91, log=log)
+        for v in range(max(args.variants, 1)):
+            texts += build_texts(gen_dir, "train", budget, _ChunkCount(),
+                                 rng=np.random.default_rng(91 + v))
+    log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; fitting vocab...")
+
+    tok = WordTokenizer.from_texts(texts)
+    for fname in ("entities.txt", "relations.txt"):
+        p = os.path.join(args.data, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                extra = [w.strip() for w in f if w.strip()
+                         and w.strip() not in tok.vocab]
+            tok = WordTokenizer(tok.words + extra)
+    log(f"vocab: {tok.vocab_size} tokens "
+        f"({len(tok.words)} words incl. KG vocabulary)")
 
     def tokenize(text: str):
-        # trailing reference eos marker -> the byte tokenizer's eos id, so
+        # trailing reference eos marker -> the tokenizer's eos id, so
         # greedy decoding terminates like a real </s>-trained model
         if text.endswith("</s>"):
             return tok.encode(text[:-4]) + [tok.eos_id]
@@ -87,7 +165,7 @@ def main():
     mcfg = LlamaConfig(vocab_size=tok.vocab_size, dim=args.dim,
                        n_layers=args.layers, n_heads=6, n_kv_heads=6,
                        intermediate=1024, max_seq_len=args.max_seq,
-                       dtype="bfloat16")
+                       tie_embeddings=True, dtype="bfloat16")
     cfg = SFTConfig(output_dir=args.out, learning_rate=3e-4,
                     warmup_steps=100, total_steps=args.steps, batch_size=8,
                     max_seq_len=args.max_seq, save_every=args.steps,
@@ -100,10 +178,36 @@ def main():
     log(f"SFT: {args.steps} steps in {wall/60:.1f} min, "
         f"loss {losses[0]:.3f} -> {np.mean(losses[-50:]):.3f}")
 
+    # held-out check: teacher-forced completion loss on RE-ROLLED prompts
+    # for the same questions — if this diverges from the train loss the
+    # model memorised sequences instead of learning to select+copy
+    import jax
+    import jax.numpy as jnp
+    val_texts = build_texts(args.data, "train", budget, _ChunkCount(),
+                            rng=np.random.default_rng(987654))[:256]
+    vt, vm = pack_examples(val_texts, tokenize, template_ids, args.max_seq,
+                           tok.pad_id)
+
+    @jax.jit
+    def batch_nll(p, t, m):
+        lg, _ = tr.model.apply(p, t[:, :-1])
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(lp, t[:, 1:, None], -1)[..., 0]
+        return jnp.sum(nll * m[:, 1:]), jnp.sum(m[:, 1:])
+
+    tot = cnt = 0.0
+    for i in range(0, len(val_texts), 8):
+        s, c = batch_nll(tr.params, jnp.asarray(vt[i:i + 8]),
+                         jnp.asarray(vm[i:i + 8]))
+        tot += float(s); cnt += float(c)
+    val_loss = tot / max(cnt, 1.0)
+    log(f"held-out (re-rolled prompts) completion loss: {val_loss:.3f}")
+
     # save serving bundle: checkpoint/ + config.json for rag.llms.llama_tpu
     os.makedirs(args.out, exist_ok=True)
     from gnn_rag_tpu.utils.checkpoint import save_pytree
     save_pytree(os.path.join(args.out, "checkpoint"), tr.params)
+    tok.save(os.path.join(args.out, "vocab.json"))
     import dataclasses
     with open(os.path.join(args.out, "config.json"), "w") as f:
         json.dump(dataclasses.asdict(mcfg), f, indent=1)
@@ -112,6 +216,8 @@ def main():
                    "loss_first": round(float(losses[0]), 4),
                    "loss_final_mean50": round(float(np.mean(losses[-50:])),
                                               4),
+                   "heldout_rerolled_loss": round(float(val_loss), 4),
+                   "variants": args.variants,
                    "n_texts": len(texts),
                    "tokens_per_s": round(args.steps * 8 * args.max_seq
                                          / wall)}, f, indent=1)

@@ -99,3 +99,56 @@ def test_rope_condense_extends_positions(tiny_lm):
     cos8, _ = rope_frequencies(16, pos // 8, 10000.0, 1.0)
     cos_c, _ = rope_frequencies(16, pos, 10000.0, 8.0)
     np.testing.assert_allclose(np.asarray(cos_c), np.asarray(cos8), rtol=1e-6)
+
+
+def test_word_tokenizer_roundtrip(tmp_path):
+    """Closed-vocab word tokenizer: in-vocab chunks are single tokens, OOV
+    chunks fall back to byte tokens, decode is exact, save/load stable."""
+    from gnn_rag_tpu.rag.llms.llama_tpu import WordTokenizer
+
+    text = "[INST] what is rel 19 of seed? [/INST] m.0030373\nm.0040171"
+    tok = WordTokenizer.from_texts([text])
+    ids = tok.encode(text)
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == text
+    # entity is ONE token
+    assert tok.vocab["m.0030373"] >= WordTokenizer._WORD0
+    # OOV word falls back to utf-8 bytes, still reversible
+    oov = "zzz.unseen ént"
+    assert tok.decode(tok.encode(oov, add_bos=False)) == oov
+    # persisted vocabulary keeps ids stable
+    p = tmp_path / "vocab.json"
+    tok.save(str(p))
+    tok2 = WordTokenizer.load(str(p))
+    assert tok2.encode(text) == ids
+    assert tok2.vocab_size == tok.vocab_size
+
+
+def test_tied_embeddings_model_and_loss():
+    """tie_embeddings drops lm_head, logits come from the f32 embedding
+    matmul, and the chunked completion loss matches the dense path."""
+    import numpy as np
+
+    from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+    from gnn_rag_tpu.llm_tpu.sft import chunked_completion_loss
+
+    cfg = LlamaConfig(vocab_size=128, dim=32, n_layers=1, n_heads=2,
+                      n_kv_heads=2, intermediate=64, max_seq_len=32,
+                      tie_embeddings=True, use_flash=False,
+                      dtype="bfloat16")
+    m = LlamaLM(cfg)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    assert "lm_head" not in p["params"]
+    logits, _ = m.apply(p, jnp.ones((2, 8), jnp.int32))
+    assert logits.dtype == jnp.float32
+    assert logits.shape == (2, 8, 128)
+
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 17)),
+                       jnp.int32)
+    mask = jnp.ones((2, 17), jnp.float32)
+    l_ch = chunked_completion_loss(m, p, toks, mask, chunk=8)
+    lg, _ = m.apply(p, toks[:, :-1])
+    lp = jax.nn.log_softmax(lg, -1)
+    nll = -jnp.take_along_axis(lp, toks[:, 1:, None], -1)[..., 0]
+    l_d = (nll * mask[:, 1:]).sum() / mask[:, 1:].sum()
+    assert abs(float(l_ch) - float(l_d)) < 1e-3

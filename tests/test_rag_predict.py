@@ -118,3 +118,33 @@ def test_direct_answer_no_llm(tmp_path):
     preds = {json.loads(l)["id"]: json.loads(l) for l in open(out)}
     assert preds["q1"]["prediction"] == ["English"]
     assert preds["q2"]["prediction"] == ["Caribbean"]
+
+
+def test_predict_batched_matches_sequential(tmp_path):
+    """PredictConfig.batch_size>1 routes through generate_batch and writes
+    the same rows as the per-question loop (device-batched serving path)."""
+    qa_path, info_path = make_dataset(tmp_path)
+    seq = predict_answers(PredictConfig(
+        data_path=str(qa_path), model_name="mock",
+        predict_path=str(tmp_path / "seq"),
+        prompt_path="prompts/llama2_predict.txt",
+        rule_path_g1=str(info_path), entities_names_path=None))
+    bat = predict_answers(PredictConfig(
+        data_path=str(qa_path), model_name="mock",
+        predict_path=str(tmp_path / "bat"), batch_size=3,
+        prompt_path="prompts/llama2_predict.txt",
+        rule_path_g1=str(info_path), entities_names_path=None))
+    rows_s = [json.loads(l) for l in open(seq)]
+    rows_b = [json.loads(l) for l in open(bat)]
+    assert [r["id"] for r in rows_b] == [r["id"] for r in rows_s]
+    for a, b in zip(rows_s, rows_b):
+        assert a["prediction"] == b["prediction"]
+        assert a["input"] == b["input"]
+
+    # resume semantics survive batching: second run adds nothing
+    out2 = predict_answers(PredictConfig(
+        data_path=str(qa_path), model_name="mock",
+        predict_path=str(tmp_path / "bat"), batch_size=3,
+        prompt_path="prompts/llama2_predict.txt",
+        rule_path_g1=str(info_path), entities_names_path=None))
+    assert len([1 for _ in open(out2)]) == len(rows_b)
