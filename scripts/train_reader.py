@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--variants", type=int, default=2,
                     help="prompt variants per question (distractor+shuffle "
                          "re-rolls) — the anti-memorisation lever")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --out's latest checkpoint-N with "
+                         "the SAVED vocab (token ids must stay stable); "
+                         "--steps is the new TOTAL step count")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
@@ -138,14 +142,23 @@ def main():
                                  rng=np.random.default_rng(91 + v))
     log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; fitting vocab...")
 
-    tok = WordTokenizer.from_texts(texts)
-    for fname in ("entities.txt", "relations.txt"):
-        p = os.path.join(args.data, fname)
-        if os.path.exists(p):
-            with open(p) as f:
-                extra = [w.strip() for w in f if w.strip()
-                         and w.strip() not in tok.vocab]
-            tok = WordTokenizer(tok.words + extra)
+    vocab_path = os.path.join(args.out, "vocab.json")
+    if args.resume and os.path.exists(vocab_path):
+        # checkpoint embeddings are indexed by the SAVED vocabulary; the
+        # rebuilt texts reuse the same generator seeds so all entity names
+        # are covered — only the truncation shuffles differ (fresh prompt
+        # variants, which is what we want from an extension run)
+        tok = WordTokenizer.load(vocab_path)
+        log(f"resume: loaded vocab ({tok.vocab_size} tokens)")
+    else:
+        tok = WordTokenizer.from_texts(texts)
+        for fname in ("entities.txt", "relations.txt"):
+            p = os.path.join(args.data, fname)
+            if os.path.exists(p):
+                with open(p) as f:
+                    extra = [w.strip() for w in f if w.strip()
+                             and w.strip() not in tok.vocab]
+                tok = WordTokenizer(tok.words + extra)
     log(f"vocab: {tok.vocab_size} tokens "
         f"({len(tok.words)} words incl. KG vocabulary)")
 
@@ -166,14 +179,29 @@ def main():
                        n_layers=args.layers, n_heads=6, n_kv_heads=6,
                        intermediate=1024, max_seq_len=args.max_seq,
                        tie_embeddings=True, dtype="bfloat16")
+    # on resume the optimizer state is fresh, so the lr schedule spans the
+    # EXTENSION steps (args.steps - already-trained), not the full target —
+    # otherwise the cosine would never finish decaying
+    already = 0
+    if args.resume and os.path.isdir(args.out):
+        ckpts = [int(m.group(1)) for n in os.listdir(args.out)
+                 if (m := re.fullmatch(r"checkpoint-(\d+)", n))]
+        already = max(ckpts) if ckpts else 0
+    elif os.path.isdir(args.out):
+        # fresh run: clear stale checkpoint-N from earlier generations so a
+        # later --resume can't pick one whose vocab mismatches vocab.json
+        import shutil
+        for n in os.listdir(args.out):
+            if re.fullmatch(r"checkpoint-(\d+)", n):
+                shutil.rmtree(os.path.join(args.out, n), ignore_errors=True)
     cfg = SFTConfig(output_dir=args.out, learning_rate=3e-4,
-                    warmup_steps=100, total_steps=args.steps, batch_size=8,
-                    max_seq_len=args.max_seq, save_every=args.steps,
-                    seed=0)
+                    warmup_steps=100, total_steps=args.steps - already,
+                    batch_size=8, max_seq_len=args.max_seq,
+                    save_every=args.steps, seed=0)
     tr = SFTTrainer(mcfg, cfg)
     t0 = time.time()
-    losses = tr.train(tokens, loss_mask, steps=args.steps, log_every=200,
-                      resume=False)
+    losses = tr.train(tokens, loss_mask, steps=args.steps,
+                      log_every=200, resume=args.resume)
     wall = time.time() - t0
     log(f"SFT: {args.steps} steps in {wall/60:.1f} min, "
         f"loss {losses[0]:.3f} -> {np.mean(losses[-50:]):.3f}")
