@@ -44,18 +44,24 @@ def worker(shape: str, dtype: str, variant: str, with_bwd: bool = True) -> dict:
     rels = rng.integers(0, 200, (B, F)).astype(np.int32)
     mask = np.ones((B, F), np.float32)
     kl = build_kernel_layout(heads, rels, tails, mask, E, pad_rel=200)
-    fwd = jax.device_put(jax.tree.map(jnp.asarray, kl.fwd._asdict()))
     from gnn_rag_tpu.data.kernel_layout import DirectionLayout
-    fwd = DirectionLayout(**fwd)
+    fwd = DirectionLayout(**jax.device_put(
+        jax.tree.map(jnp.asarray, kl.fwd._asdict())))
+    kl_dev = kl._replace(
+        fwd=fwd, inv=DirectionLayout(**jax.device_put(
+            jax.tree.map(jnp.asarray, kl.inv._asdict()))))
     Fp = fwd.scatter.shape[1]
+    Fp_i = kl_dev.inv.scatter.shape[1]
 
     cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
     k = jax.random.PRNGKey(0)
     fact_rel = jax.random.normal(k, (B, Fp, D), cdt)
+    fact_rel_i = jax.random.normal(k, (B, Fp_i, D), cdt)
     w = jax.random.normal(k, (D, D), cdt) * 0.1
     bias = jnp.zeros((D,), cdt)
     ins = jax.random.normal(k, (B, J, D), cdt)
     prior = jax.nn.softmax(jax.random.normal(k, (B, Fp)), axis=-1)
+    prior_i = jax.nn.softmax(jax.random.normal(k, (B, Fp_i)), axis=-1)
 
     def call(fr, pr):
         if variant == "v1":
@@ -65,6 +71,12 @@ def worker(shape: str, dtype: str, variant: str, with_bwd: bool = True) -> dict:
             return pallas_mp.fused_gate_scatter_v2(
                 fr, w, bias, ins, pr, fwd.scatter, fwd.chunk_starts,
                 fwd.chunk_tiles, E, True)
+        if variant == "v4":
+            # BOTH directions in one launch (the model's default path);
+            # directly comparable to 2x a single-direction v3 row
+            out_f, out_i = pallas_mp.gate_scatter_both(
+                fr, fact_rel_i, ins, pr, prior_i, kl_dev, E)
+            return out_f + out_i
         # v3: already-projected values (table projection happens in XLA
         # outside the op; here fr stands in for the projected gather)
         return pallas_mp.gated_scatter_v3(
