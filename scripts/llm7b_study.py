@@ -51,13 +51,15 @@ def random_bf16_params(model, cfg):
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 8), jnp.int32))
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
     def leaf(key, shape):
         return (jax.random.normal(key, shape, jnp.bfloat16) * 0.02)
 
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
-    out = [leaf(k, s.shape) for k, s in zip(keys, leaves)]
+    out = [leaf(k, tuple(s.shape)) for k, s in zip(keys, leaves)]
     n_params = sum(int(np.prod(s.shape)) for s in leaves)
     return jax.tree_util.tree_unflatten(treedef, out), n_params
 
@@ -98,24 +100,32 @@ def main():
     result["prefill"] = prefill
     result["hbm_peak_after_prefill_gb"] = hbm_gb()[1]
 
-    # ---- greedy decode tokens/s (kv-cache while_loop decoder)
+    # ---- greedy decode tokens/s (kv-cache while_loop decoder). bs=1 is
+    # HBM-bound (every token re-reads all 12.6GB of weights: the GEMV
+    # regime); bs=8 amortises the weight stream across rows and is the
+    # serving-relevant aggregate number.
     dec = Decoder(model, params, max_len=1024)
     prompt = list(range(1, 129))
-    t0 = time.time()
-    out = dec.greedy_batch([prompt], max_new_tokens=32)
-    compile_s = time.time() - t0
     n_new = 128
-    t0 = time.time()
-    out = dec.greedy_batch([prompt], max_new_tokens=n_new)
-    dt = time.time() - t0
-    result["greedy_decode"] = {
-        "batch": 1, "prompt_len": 128, "new_tokens": n_new,
-        "tokens_per_s": round(n_new / dt, 1),
-        "ms_per_token": round(1e3 * dt / n_new, 1),
-        "compile_s": round(compile_s, 1),
-        "hbm_peak_gb": hbm_gb()[1],
-    }
-    log(f"decode: {result['greedy_decode']}")
+    result["greedy_decode_by_batch"] = {}
+    for bsz in (1, 8):
+        prompts = [prompt] * bsz
+        t0 = time.time()
+        dec.greedy_batch(prompts, max_new_tokens=32)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        dec.greedy_batch(prompts, max_new_tokens=n_new)
+        dt = time.time() - t0
+        row = {
+            "batch": bsz, "prompt_len": 128, "new_tokens": n_new,
+            "tokens_per_s": round(bsz * n_new / dt, 1),
+            "ms_per_token_per_seq": round(1e3 * dt / n_new, 1),
+            "compile_s": round(compile_s, 1),
+            "hbm_peak_gb": hbm_gb()[1],
+        }
+        result["greedy_decode_by_batch"][str(bsz)] = row
+        log(f"decode bs={bsz}: {row}")
+    result["greedy_decode"] = result["greedy_decode_by_batch"]["1"]
 
     # ---- SFT scale table (analytic; llm_tpu/sharding.py megatron TP +
     # optimizer-state sharding over dp): params bf16, grads bf16,
