@@ -66,3 +66,20 @@ def test_unbounded_bfs_reaches_deep_paths():
 
     # a cap still caps
     assert BatchedPathExtractor(max_hops=4).extract([q])[0] == []
+
+
+def test_extractor_self_loops_and_zero_length():
+    """Self-loop edges are inert; src == cand yields the zero-length path;
+    parallel edges collapse to the oracle's relation choice."""
+    triples = [["a", "r.self", "a"], ["a", "r1", "b"], ["a", "r2", "b"],
+               ["b", "r3", "c"]]
+    q = {"graph": triples, "q_entity": ["a"], "cand": ["a", "b", "c"]}
+    paths = BatchedPathExtractor().extract([q])[0]
+    g = graph_utils.build_graph(q["graph"])
+    exp = graph_utils.get_truth_paths(["a"], ["a", "b", "c"], g)
+    key = lambda ps: sorted(text_utils.path_to_string(p) for p in ps)
+    assert key(paths) == key(exp)
+    assert [] in paths                  # zero-length a -> a
+    # collapsed relation matches UndirectedGraph (last write wins)
+    ab = [p for p in paths if len(p) == 1 and p[0][2] == "b"]
+    assert ab and ab[0][0][1] == g.relation("a", "b")
