@@ -24,14 +24,30 @@ Triple = Tuple[str, str, str]
 
 
 class UndirectedGraph:
-    """Insertion-ordered undirected graph with one relation per edge."""
+    """Insertion-ordered undirected graph with one relation per edge.
 
-    __slots__ = ("adj",)
+    With ``keep_parallel=True`` parallel edges KEEP all their relations,
+    joined as ``"r1 | r2"`` in insertion order, instead of the reference's
+    last-write-wins collapse (nx.Graph.add_edge, graph_utils.py:10-21).
+    The collapse is a real information loss: on the synthetic benchmarks
+    ~50% of gold answers sit on parallel-edge pairs (docs/DATA.md), so the
+    displayed relation is wrong for about half of them. Opt-in because the
+    collapsed format is the byte-parity contract with the reference's
+    prompts."""
 
-    def __init__(self):
+    __slots__ = ("adj", "keep_parallel")
+
+    def __init__(self, keep_parallel: bool = False):
         self.adj: Dict[str, Dict[str, str]] = {}
+        self.keep_parallel = keep_parallel
 
     def add_edge(self, h, t, relation: str):
+        if self.keep_parallel:
+            cur = self.adj.get(h, {}).get(t)
+            if cur is not None and relation not in cur.split(" | "):
+                relation = cur + " | " + relation
+            elif cur is not None:
+                relation = cur
         self.adj.setdefault(h, {})[t] = relation
         self.adj.setdefault(t, {})[h] = relation
 
@@ -53,11 +69,11 @@ class UndirectedGraph:
 
 def build_graph(triples: Iterable[Triple], entities: Optional[Sequence] = None,
                 encrypt: bool = False,
-                names_entities: Optional[Dict[str, str]] = None
-                ) -> UndirectedGraph:
+                names_entities: Optional[Dict[str, str]] = None,
+                keep_parallel: bool = False) -> UndirectedGraph:
     """graph_utils.py:10-21; with encrypt, entity names that are question
     entities are swapped back to their mids."""
-    g = UndirectedGraph()
+    g = UndirectedGraph(keep_parallel)
     for h, r, t in triples:
         if encrypt and names_entities is not None and entities is not None:
             if h in names_entities and names_entities[h] in entities:
@@ -83,7 +99,8 @@ def bfs_with_rule(graph: UndirectedGraph, start_node, target_rule: Sequence[str]
             want = target_rule[len(path)]
             for nb in graph.neighbors(node):
                 rel = graph.relation(node, nb)
-                if rel != want:
+                if rel != want and (" | " not in rel
+                                    or want not in rel.split(" | ")):
                     continue
                 queue.append((nb, path + [(node, rel, nb)]))
     return result_paths
@@ -158,10 +175,12 @@ def get_truth_paths(q_entity: Sequence, a_entity: Sequence,
 def get_truth_paths_fast(triples: Sequence[Triple], q_entity: Sequence,
                          a_entity: Sequence, entities: Optional[Sequence] = None,
                          encrypt: bool = False,
-                         names_entities: Optional[Dict[str, str]] = None
-                         ) -> List[List[Triple]]:
+                         names_entities: Optional[Dict[str, str]] = None,
+                         keep_parallel: bool = False) -> List[List[Triple]]:
     """get_truth_paths without a Python graph build: the C++ enumerator
-    (gnn_rag_tpu.native) when available, else the pure-Python path."""
+    (gnn_rag_tpu.native) when available, else the pure-Python path.
+    keep_parallel routes to the Python path (the native enumerator
+    implements the reference's collapse semantics)."""
     if encrypt and names_entities is not None and entities is not None:
         renamed = []
         for h, r, t in triples:
@@ -171,14 +190,16 @@ def get_truth_paths_fast(triples: Sequence[Triple], q_entity: Sequence,
                 t = names_entities[t]
             renamed.append((h, r, t))
         triples = renamed
-    try:
-        from .. import native
-        out = native.truth_paths_native(triples, q_entity, a_entity)
-        if out is not None:
-            return out
-    except Exception:
-        pass
-    return get_truth_paths(q_entity, a_entity, build_graph(triples))
+    if not keep_parallel:
+        try:
+            from .. import native
+            out = native.truth_paths_native(triples, q_entity, a_entity)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return get_truth_paths(q_entity, a_entity,
+                           build_graph(triples, keep_parallel=keep_parallel))
 
 
 def get_simple_paths(q_entity: Sequence, a_entity: Sequence,

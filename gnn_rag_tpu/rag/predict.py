@@ -171,6 +171,9 @@ class PredictConfig:
     max_new_tokens: int = 512
     dtype: str = "fp16"
     retry: int = 5
+    # verbalize parallel edges as "r1 | r2" in cand reasoning paths
+    # (opt-in; see PromptBuilder.keep_parallel)
+    keep_parallel: bool = False
     # >1: feed the accelerator `batch_size` prompts per generate call when
     # the backend exposes generate_batch (the TPU kv-cache decoder compiles
     # one [B, bucket] program and amortises prefill across questions).
@@ -236,7 +239,8 @@ def predict_answers(cfg: PredictConfig, LLM=None, dataset=None) -> str:
             cfg.prompt_path, cfg.encrypt, cfg.add_rule, use_true=cfg.use_true,
             cot=cfg.cot, explain=cfg.explain, use_random=cfg.use_random,
             each_line=cfg.each_line, maximun_token=model.maximun_token,
-            tokenize=model.tokenize, names_entities=names_entities)
+            tokenize=model.tokenize, names_entities=names_entities,
+            keep_parallel=cfg.keep_parallel)
         model.prepare_for_inference()
     else:
         model = None

@@ -42,7 +42,13 @@ class PromptBuilder:
                  maximun_token: int = 4096,
                  tokenize: Callable = len,
                  names_entities: Optional[dict] = None,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None,
+                 keep_parallel: bool = False):
+        # keep_parallel: verbalize parallel edges as "r1 | r2" in the cand
+        # reasoning paths instead of the reference's last-write collapse
+        # (graph_utils.UndirectedGraph docstring) — opt-in, breaks byte
+        # parity with the reference's prompt strings
+        self.keep_parallel = keep_parallel
         self.prompt_template = text_utils.read_prompt(prompt_path)
         self.encrypt = encrypt
         self.add_rule = add_rule
@@ -109,7 +115,7 @@ class PromptBuilder:
             reasoning_paths = graph_utils.get_truth_paths_fast(
                 question_dict["graph"], question_dict["q_entity"],
                 question_dict["cand"], [], self.encrypt,
-                self.names_entities)
+                self.names_entities, keep_parallel=self.keep_parallel)
             for p in reasoning_paths:
                 s = text_utils.path_to_string(p)
                 if s not in lists_of_paths:

@@ -135,7 +135,8 @@ def build_llm_test_json(out_path: str):
 
 
 def rag_stage(info_path: str, qa_path: str, out_dir: str,
-              model_name: str = "mock", model_path: str = None) -> dict:
+              model_name: str = "mock", model_path: str = None,
+              keep_parallel: bool = False) -> dict:
     from gnn_rag_tpu.rag.evaluate_multi_hop import eval_result_multi_hop
     from gnn_rag_tpu.rag.evaluate_results import eval_result
     from gnn_rag_tpu.rag.predict import PredictConfig, predict_answers
@@ -146,6 +147,7 @@ def rag_stage(info_path: str, qa_path: str, out_dir: str,
         predict_path=out_dir, max_new_tokens=16 if model_path else 512,
         prompt_path="prompts/llama2_predict.txt", rule_path_g1=info_path,
         entities_names_path=None, force=True,
+        keep_parallel=keep_parallel,
         batch_size=16 if model_path else 1))
     seconds = time.perf_counter() - t0
     summary = eval_result(out)
@@ -226,9 +228,16 @@ def main():
 
     if args.reader_path:
         log("RAG stage with the TRAINED on-chip reader...")
+        # serve with the SAME path verbalization the reader was trained on
+        kp = False
+        meta_p = os.path.join(args.reader_path, "train_meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                kp = bool(json.load(f).get("keep_parallel", False))
         res["rag_trained_reader"] = rag_stage(
             info_path, qa_path, os.path.join(CKPT_DIR, "rag_trained"),
-            model_name="llama_tpu", model_path=args.reader_path)
+            model_name="llama_tpu", model_path=args.reader_path,
+            keep_parallel=kp)
 
     with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)

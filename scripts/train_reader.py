@@ -30,7 +30,7 @@ def log(*a):
 
 
 def build_texts(data_dir: str, split: str, budget: int, tok,
-                rng=None) -> list:
+                rng=None, keep_parallel: bool = False) -> list:
     """KGQA split -> llama2 QA SFT texts in the SERVING distribution: the
     prompt is built by the same PromptBuilder `cand` path predict.py uses
     (shortest paths from question entities to a candidate set), with the
@@ -43,7 +43,8 @@ def build_texts(data_dir: str, split: str, budget: int, tok,
     rng = rng or np.random.default_rng(0)
     builder = PromptBuilder("prompts/llama2_predict.txt", add_rule=False,
                             maximun_token=budget,
-                            tokenize=lambda t: len(tok.encode(t)))
+                            tokenize=lambda t: len(tok.encode(t)),
+                            keep_parallel=keep_parallel)
     texts = []
     n_seen = n_dropped = 0
     with open(os.path.join(data_dir, f"{split}.json")) as f:
@@ -95,6 +96,10 @@ def main():
                     help="continue from --out's latest checkpoint-N with "
                          "the SAVED vocab (token ids must stay stable); "
                          "--steps is the new TOTAL step count")
+    ap.add_argument("--keep_parallel", action="store_true",
+                    help="multi-relation path verbalization ('r1 | r2') in "
+                         "both training and the saved serving config — "
+                         "removes the parallel-edge-collapse noise floor")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
@@ -127,7 +132,8 @@ def main():
     texts = []
     for v in range(max(args.variants, 1)):
         texts += build_texts(args.data, "train", budget, _ChunkCount(),
-                             rng=np.random.default_rng(v))
+                             rng=np.random.default_rng(v),
+                             keep_parallel=args.keep_parallel)
     if args.gen_train:
         import tempfile
 
@@ -139,7 +145,8 @@ def main():
         refbench.generate(gen_dir, sc, seed=91, log=log)
         for v in range(max(args.variants, 1)):
             texts += build_texts(gen_dir, "train", budget, _ChunkCount(),
-                                 rng=np.random.default_rng(91 + v))
+                                 rng=np.random.default_rng(91 + v),
+                                 keep_parallel=args.keep_parallel)
     log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; fitting vocab...")
 
     vocab_path = os.path.join(args.out, "vocab.json")
@@ -212,7 +219,8 @@ def main():
     import jax
     import jax.numpy as jnp
     val_texts = build_texts(args.data, "train", budget, _ChunkCount(),
-                            rng=np.random.default_rng(987654))[:256]
+                            rng=np.random.default_rng(987654),
+                            keep_parallel=args.keep_parallel)[:256]
     vt, vm = pack_examples(val_texts, tokenize, template_ids, args.max_seq,
                            tok.pad_id)
 
@@ -246,6 +254,7 @@ def main():
                                               4),
                    "heldout_rerolled_loss": round(float(val_loss), 4),
                    "variants": args.variants,
+                   "keep_parallel": args.keep_parallel,
                    "n_texts": len(texts),
                    "tokens_per_s": round(args.steps * 8 * args.max_seq
                                          / wall)}, f, indent=1)
