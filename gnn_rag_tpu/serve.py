@@ -36,7 +36,7 @@ class RetrieverService:
                  tokenizer=None, max_hops: int | None = None,
                  entity_buckets=(256, 512, 1024, 2048),
                  fact_buckets=(1024, 2048, 4096, 8192, 16384),
-                 path_backend: str = "auto"):
+                 path_backend: str = "auto", keep_parallel: bool = False):
         self.cfg = cfg
         self.vocab = vocab
         self.nkr = num_kb_relation(vocab.num_relation,
@@ -55,6 +55,11 @@ class RetrieverService:
             from .native import available as native_available
             path_backend = "native" if native_available() else "device"
         self.path_backend = path_backend
+        # multi-relation path verbalization (python backend only; see
+        # rag.graph_utils.UndirectedGraph.keep_parallel)
+        self.keep_parallel = keep_parallel
+        if keep_parallel and path_backend != "python":
+            self.path_backend = path_backend = "python"
         self.max_hops = max_hops
         self.extractor = (BatchedPathExtractor(max_hops=max_hops)
                           if path_backend == "device" else None)
@@ -128,9 +133,9 @@ class RetrieverService:
                 all_paths = self.extractor.extract(path_qs)
             else:
                 from .rag.graph_utils import get_truth_paths_fast
-                all_paths = [get_truth_paths_fast(pq["graph"],
-                                                  pq["q_entity"],
-                                                  pq["cand"])
+                all_paths = [get_truth_paths_fast(
+                                 pq["graph"], pq["q_entity"], pq["cand"],
+                                 keep_parallel=self.keep_parallel)
                              for pq in path_qs]
             for res, paths in zip(results, all_paths):
                 seen = []

@@ -148,3 +148,37 @@ def test_predict_batched_matches_sequential(tmp_path):
         prompt_path="prompts/llama2_predict.txt",
         rule_path_g1=str(info_path), entities_names_path=None))
     assert len([1 for _ in open(out2)]) == len(rows_b)
+
+
+def test_predict_keep_parallel_prompts(tmp_path):
+    """keep_parallel flows through the driver: parallel edges show every
+    relation in the prompt's reasoning paths."""
+    qa = [{"id": "q1", "question": "what language do they speak in jamaica",
+           "answer": ["English"], "q_entity": ["Jamaica"],
+           "a_entity": ["English"],
+           "graph": [["Jamaica", "official_language", "English"],
+                     ["Jamaica", "spoken_language", "English"]],
+           "choices": []}]
+    qa_path = tmp_path / "qa.jsonl"
+    with open(qa_path, "w") as f:
+        f.write(json.dumps(qa[0]) + "\n")
+    info = {"question": qa[0]["question"], "0": {}, "answers": ["English"],
+            "precison": 1.0, "recall": 1.0, "f1": 1.0, "hit": 1.0, "em": 1,
+            "cand": [["English", 0.9]]}
+    info_path = tmp_path / "test.info"
+    with open(info_path, "w") as f:
+        f.write(json.dumps(info) + "\n")
+    (tmp_path / "test.json").write_text(json.dumps(qa[0]) + "\n")
+
+    outs = {}
+    for kp in (False, True):
+        out = predict_answers(PredictConfig(
+            data_path=str(qa_path), model_name="mock",
+            predict_path=str(tmp_path / f"kp{kp}"), keep_parallel=kp,
+            prompt_path="prompts/llama2_predict.txt",
+            rule_path_g1=str(info_path), entities_names_path=None))
+        outs[kp] = json.loads(open(out).readline())["input"]
+    assert "official_language | spoken_language" in outs[True]
+    assert "official_language | spoken_language" not in outs[False]
+    # default is reference collapse: last write wins
+    assert "-> spoken_language ->" in outs[False]
