@@ -18,19 +18,37 @@ _LIB_PATH = os.path.join(_DIR, "libgraphpath.so")
 _lib = None
 
 
+_ABI_VERSION = 2
+
+
+def _open_lib():
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    try:
+        lib.gp_abi_version.restype = ctypes.c_int32
+        if lib.gp_abi_version() != _ABI_VERSION:
+            return None
+    except AttributeError:  # pre-versioning build
+        return None
+    return lib
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    lib = _open_lib() if os.path.exists(_LIB_PATH) else None
+    if lib is None:
+        # missing or stale (ABI mismatch) — rebuild from source
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _DIR], check=True,
                            capture_output=True)
         except Exception:
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        lib = _open_lib()
+    if lib is None:
         return None
     lib.gp_build.restype = ctypes.c_void_p
     lib.gp_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -54,8 +72,9 @@ def _load():
                                     ctypes.c_void_p]
     lib.gp_intern.restype = ctypes.c_int64
     lib.gp_intern.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                              ctypes.c_int64, ctypes.c_void_p,
-                              ctypes.c_void_p, ctypes.c_int64]
+                              ctypes.c_int64, ctypes.c_int32,
+                              ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -178,24 +197,25 @@ class NativeGraph:
         return dist
 
 
-def _intern_native(strs: List[str]):
+def _intern_native(strs: List[str], strip: bool = False):
     """(values_in_first_occurrence_order, int32 id_per_element) via
     gp_intern — the native equivalent of sequential
-    `dict.setdefault(v, len(dict))` interning. Raises TypeError on
-    non-string items and ValueError on embedded NULs (callers fall back
-    to the Python dict loop)."""
+    `dict.setdefault(v, len(dict))` interning. With strip=True ASCII
+    whitespace is trimmed (in C++) before hashing AND from the returned
+    unique values. Raises TypeError on non-string items and ValueError on
+    embedded NULs (callers fall back to the Python dict loop)."""
     lib = _load()
     buf = "\0".join(strs).encode("utf-8") + b"\0"
-    if buf.count(b"\0") != len(strs):
-        raise ValueError("embedded NUL in keys")
     out_ids = np.empty(len(strs), np.int32)
     out_first = np.empty(len(strs), np.int32)
-    n_uniq = lib.gp_intern(buf, len(buf), len(strs),
+    n_uniq = lib.gp_intern(buf, len(buf), len(strs), int(strip),
                            out_ids.ctypes.data_as(ctypes.c_void_p),
                            out_first.ctypes.data_as(ctypes.c_void_p),
                            len(strs))
     if n_uniq < 0:
-        raise ValueError("gp_intern failed")
+        raise ValueError("gp_intern failed")  # -1 cap, -2 embedded NUL
+    if strip:
+        return [strs[i].strip() for i in out_first[:n_uniq]], out_ids
     return [strs[i] for i in out_first[:n_uniq]], out_ids
 
 
@@ -208,22 +228,30 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
     if not available():
         return None
     n = len(triples)
+    n_q, n_a = len(q_entities), len(answers)
     try:
         # C++ interning (gp_intern): join every string into one
         # NUL-separated utf-8 buffer, hash string_views into it natively.
         # First-occurrence id order — bitwise-identical ids (and therefore
         # path enumeration order) to the old per-edge dict loop, which at
-        # 8k triples cost ~3x the actual C++ BFS.
+        # 8k triples cost ~3x the actual C++ BFS. The question entities and
+        # answers ride the SAME intern call: their ids are graph node ids
+        # iff < the graph's unique count (no per-question str->id dict).
+        # Relation whitespace-stripping happens inside gp_intern (ASCII ws;
+        # exotic unicode ws falls back to the Python oracle's semantics
+        # only via the dict path below).
         node_strs = [t[0] for t in triples] + [t[2] for t in triples]
-        rel_strs = [t[1].strip() if isinstance(t[1], str) else t[1]
-                    for t in triples]
+        node_strs += list(q_entities)
+        node_strs += list(answers)
+        rel_strs = [t[1] for t in triples]
         id_node, node_ids = _intern_native(node_strs)
-        id_rel, rel_ids = _intern_native(rel_strs)
+        id_rel, rel_ids = _intern_native(rel_strs, strip=True)
         heads_a = node_ids[:n]
-        tails_a = node_ids[n:]
+        tails_a = node_ids[n:2 * n]
         rels_a = rel_ids
-        ng = len(id_node)
-        node_id: Dict[str, int] = {s: i for i, s in enumerate(id_node)}
+        ng = int(node_ids[:2 * n].max()) + 1 if n else 0
+        src_ids = node_ids[2 * n:2 * n + n_q]
+        dst_all = node_ids[2 * n + n_q:]
     except (TypeError, AttributeError, ValueError):
         # non-uniformly-typed keys (unsortable mix) — dict interning
         node_id = {}
@@ -251,14 +279,16 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
             tails_a[i] = v
         id_node = list(node_id)
         id_rel = list(rel_id)
+        src_ids = [node_id.get(h, ng) for h in q_entities]
+        dst_all = [node_id.get(t, ng) for t in answers]
     g = NativeGraph(heads_a, rels_a, tails_a, ng)
     out: List[List[Tuple[str, str, str]]] = []
-    dst_ids = [node_id[t] for t in answers if t in node_id]
-    for h in q_entities:
-        if h not in node_id:
+    dst_ids = [int(d) for d in dst_all if d < ng]
+    for s in src_ids:
+        if s >= ng:
             continue
         # one BFS per question entity, paths to ALL candidates at once
-        for paths in g.paths_from_source(node_id[h], dst_ids,
+        for paths in g.paths_from_source(int(s), dst_ids,
                                          max_paths_per_pair):
             for node_seq, rel_seq in paths:
                 out.append([(id_node[node_seq[i]], id_rel[rel_seq[i]],
