@@ -18,7 +18,7 @@ _LIB_PATH = os.path.join(_DIR, "libgraphpath.so")
 _lib = None
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _open_lib():
@@ -52,8 +52,16 @@ def _load():
         return None
     lib.gp_build.restype = ctypes.c_void_p
     lib.gp_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                             ctypes.c_int64, ctypes.c_int32]
+                             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
     lib.gp_free.argtypes = [ctypes.c_void_p]
+    lib.gp_n_base_rels.restype = ctypes.c_int32
+    lib.gp_n_base_rels.argtypes = [ctypes.c_void_p]
+    lib.gp_n_composite.restype = ctypes.c_int64
+    lib.gp_n_composite.argtypes = [ctypes.c_void_p]
+    lib.gp_composite_vals_len.restype = ctypes.c_int64
+    lib.gp_composite_vals_len.argtypes = [ctypes.c_void_p]
+    lib.gp_composite_table.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
     lib.gp_all_shortest_paths.restype = ctypes.c_int64
     lib.gp_all_shortest_paths.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
@@ -87,7 +95,8 @@ class NativeGraph:
     """Integer-id undirected graph backed by the C++ CSR."""
 
     def __init__(self, heads: np.ndarray, rels: np.ndarray,
-                 tails: np.ndarray, n_nodes: int):
+                 tails: np.ndarray, n_nodes: int,
+                 keep_parallel: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("libgraphpath.so unavailable")
@@ -100,7 +109,24 @@ class NativeGraph:
             heads.ctypes.data_as(ctypes.c_void_p),
             rels.ctypes.data_as(ctypes.c_void_p),
             tails.ctypes.data_as(ctypes.c_void_p),
-            len(heads), self.n_nodes)
+            len(heads), self.n_nodes, int(keep_parallel))
+
+    def composite_rels(self) -> Tuple[int, List[List[int]]]:
+        """keep_parallel mode: (n_base_rels, member base-rel ids per
+        composite id). Rel ids >= n_base_rels returned by the path
+        enumerators index this table (id - n_base_rels)."""
+        n_base = self._lib.gp_n_base_rels(self._handle)
+        n_comp = self._lib.gp_n_composite(self._handle)
+        if n_comp <= 0:
+            return n_base, []
+        ptr = np.empty(n_comp + 1, np.int64)
+        vals = np.empty(self._lib.gp_composite_vals_len(self._handle),
+                        np.int32)
+        self._lib.gp_composite_table(self._handle,
+                                     ptr.ctypes.data_as(ctypes.c_void_p),
+                                     vals.ctypes.data_as(ctypes.c_void_p))
+        return n_base, [vals[ptr[i]:ptr[i + 1]].tolist()
+                        for i in range(n_comp)]
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -221,10 +247,14 @@ def _intern_native(strs: List[str], strip: bool = False):
 
 def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
                        q_entities: Sequence[str], answers: Sequence[str],
-                       max_paths_per_pair: int = 10_000
+                       max_paths_per_pair: int = 10_000,
+                       keep_parallel: bool = False
                        ) -> Optional[List[List[Tuple[str, str, str]]]]:
     """Native fast path for rag.graph_utils.get_truth_paths. Returns None when
-    the library is unavailable."""
+    the library is unavailable. keep_parallel verbalizes parallel edges as
+    "r1 | r2" (first-seen order, deduped) instead of the reference's
+    last-write-wins collapse — same semantics as the Python oracle's
+    UndirectedGraph(keep_parallel=True)."""
     if not available():
         return None
     n = len(triples)
@@ -281,7 +311,12 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
         id_rel = list(rel_id)
         src_ids = [node_id.get(h, ng) for h in q_entities]
         dst_all = [node_id.get(t, ng) for t in answers]
-    g = NativeGraph(heads_a, rels_a, tails_a, ng)
+    g = NativeGraph(heads_a, rels_a, tails_a, ng, keep_parallel=keep_parallel)
+    rel_str = id_rel
+    if keep_parallel:
+        n_base, members = g.composite_rels()
+        rel_str = list(id_rel[:n_base])
+        rel_str += [" | ".join(id_rel[m] for m in ms) for ms in members]
     out: List[List[Tuple[str, str, str]]] = []
     dst_ids = [int(d) for d in dst_all if d < ng]
     for s in src_ids:
@@ -291,7 +326,7 @@ def truth_paths_native(triples: Sequence[Tuple[str, str, str]],
         for paths in g.paths_from_source(int(s), dst_ids,
                                          max_paths_per_pair):
             for node_seq, rel_seq in paths:
-                out.append([(id_node[node_seq[i]], id_rel[rel_seq[i]],
+                out.append([(id_node[node_seq[i]], rel_str[rel_seq[i]],
                              id_node[node_seq[i + 1]])
                             for i in range(len(rel_seq))])
     return out

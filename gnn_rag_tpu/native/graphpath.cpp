@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <queue>
 #include <string_view>
 #include <unordered_map>
@@ -25,6 +26,13 @@ struct Graph {
   std::vector<int64_t> row_ptr;
   std::vector<int32_t> col;
   std::vector<int32_t> rel;
+  // keep_parallel mode: rel ids >= n_base_rels are COMPOSITE — parallel
+  // edges keep every distinct relation (first-seen order) instead of the
+  // reference's last-write-wins collapse. comp_ptr/comp_vals is a CSR of
+  // member base-rel ids for composite id c at index (c - n_base_rels).
+  int32_t n_base_rels = 0;
+  std::vector<int64_t> comp_ptr{0};
+  std::vector<int32_t> comp_vals;
 };
 
 struct Workspace {
@@ -39,7 +47,7 @@ struct Workspace {
 extern "C" {
 
 void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
-               int64_t n_edges, int32_t n_nodes) {
+               int64_t n_edges, int32_t n_nodes, int32_t keep_parallel) {
   auto* g = new Graph();
   g->n_nodes = n_nodes;
   // Two-pass counting-sort CSR build (O(E + V), replaces the r03 std::sort
@@ -64,10 +72,12 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
     col[cursor[h]] = t; rel[cursor[h]] = r; ++cursor[h];
     col[cursor[t]] = h; rel[cursor[t]] = r; ++cursor[t];
   }
-  // per-row dedup keeping the LAST input occurrence's relation; epoch-
-  // stamped slot map avoids clearing an n_nodes array per row
+  // per-row dedup keeping the LAST input occurrence's relation (reference
+  // collapse) or, with keep_parallel, ALL distinct relations in first-seen
+  // order; epoch-stamped slot map avoids clearing an n_nodes array per row
   std::vector<int32_t> stamp(n_nodes, -1);
   std::vector<int64_t> slot_of(n_nodes, 0);
+  std::vector<std::vector<int32_t>> elists;  // keep_parallel: rels per slot
   g->row_ptr.assign(n_nodes + 1, 0);
   g->col.reserve(total);
   g->rel.reserve(total);
@@ -76,18 +86,64 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
     for (int64_t k = cnt[u]; k < cnt[u + 1]; ++k) {
       int32_t v = col[k];
       if (stamp[v] == u) {
-        g->rel[slot_of[v]] = rel[k];  // parallel edge: last one wins
+        if (keep_parallel) {
+          auto& L = elists[slot_of[v]];
+          if (std::find(L.begin(), L.end(), rel[k]) == L.end())
+            L.push_back(rel[k]);
+        } else {
+          g->rel[slot_of[v]] = rel[k];  // parallel edge: last one wins
+        }
       } else {
         stamp[v] = u;
         slot_of[v] = static_cast<int64_t>(g->col.size());
         g->col.push_back(v);
         g->rel.push_back(rel[k]);
+        if (keep_parallel) elists.push_back({rel[k]});
       }
     }
     g->row_ptr[u + 1] = g->row_ptr[u]
         + (static_cast<int64_t>(g->col.size()) - row_start);
   }
+  if (keep_parallel) {
+    int32_t max_rel = -1;
+    for (int32_t r : g->rel) max_rel = std::max(max_rel, r);
+    g->n_base_rels = max_rel + 1;
+    std::map<std::vector<int32_t>, int32_t> comp_ids;
+    for (size_t s = 0; s < elists.size(); ++s) {
+      const auto& L = elists[s];
+      if (L.size() == 1) {
+        g->rel[s] = L[0];
+        continue;
+      }
+      auto [it, inserted] = comp_ids.emplace(
+          L, g->n_base_rels + static_cast<int32_t>(comp_ids.size()));
+      if (inserted) {
+        g->comp_vals.insert(g->comp_vals.end(), L.begin(), L.end());
+        g->comp_ptr.push_back(static_cast<int64_t>(g->comp_vals.size()));
+      }
+      g->rel[s] = it->second;
+    }
+  }
   return g;
+}
+
+// keep_parallel accessors: composite-id table (see Graph).
+int32_t gp_n_base_rels(void* graph) {
+  return static_cast<Graph*>(graph)->n_base_rels;
+}
+
+int64_t gp_n_composite(void* graph) {
+  return static_cast<int64_t>(static_cast<Graph*>(graph)->comp_ptr.size()) - 1;
+}
+
+int64_t gp_composite_vals_len(void* graph) {
+  return static_cast<int64_t>(static_cast<Graph*>(graph)->comp_vals.size());
+}
+
+void gp_composite_table(void* graph, int64_t* out_ptr, int32_t* out_vals) {
+  const Graph& g = *static_cast<Graph*>(graph);
+  std::copy(g.comp_ptr.begin(), g.comp_ptr.end(), out_ptr);
+  std::copy(g.comp_vals.begin(), g.comp_vals.end(), out_vals);
 }
 
 void gp_free(void* graph) { delete static_cast<Graph*>(graph); }
@@ -337,7 +393,7 @@ void gp_bfs_dist(void* graph, const int32_t* sources, int32_t n_sources,
 // Binding handshake: the ctypes loader rebuilds the library when this does
 // not match its expected value (a stale libgraphpath.so from an older
 // checkout would otherwise be called with the wrong signatures).
-int32_t gp_abi_version() { return 2; }
+int32_t gp_abi_version() { return 3; }
 
 // String interning for the truth_paths wrapper: `buf` holds n_items
 // NUL-terminated utf-8 strings back to back. Writes the first-occurrence-

@@ -179,8 +179,7 @@ def get_truth_paths_fast(triples: Sequence[Triple], q_entity: Sequence,
                          keep_parallel: bool = False) -> List[List[Triple]]:
     """get_truth_paths without a Python graph build: the C++ enumerator
     (gnn_rag_tpu.native) when available, else the pure-Python path.
-    keep_parallel routes to the Python path (the native enumerator
-    implements the reference's collapse semantics)."""
+    keep_parallel is supported natively (composite relation ids)."""
     if encrypt and names_entities is not None and entities is not None:
         renamed = []
         for h, r, t in triples:
@@ -190,14 +189,14 @@ def get_truth_paths_fast(triples: Sequence[Triple], q_entity: Sequence,
                 t = names_entities[t]
             renamed.append((h, r, t))
         triples = renamed
-    if not keep_parallel:
-        try:
-            from .. import native
-            out = native.truth_paths_native(triples, q_entity, a_entity)
-            if out is not None:
-                return out
-        except Exception:
-            pass
+    try:
+        from .. import native
+        out = native.truth_paths_native(triples, q_entity, a_entity,
+                                        keep_parallel=keep_parallel)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     return get_truth_paths(q_entity, a_entity,
                            build_graph(triples, keep_parallel=keep_parallel))
 

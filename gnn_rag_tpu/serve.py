@@ -55,11 +55,14 @@ class RetrieverService:
             from .native import available as native_available
             path_backend = "native" if native_available() else "device"
         self.path_backend = path_backend
-        # multi-relation path verbalization (python backend only; see
+        # multi-relation path verbalization (native composite-rel ids or
+        # the python oracle; the device BFS keeps collapse semantics — see
         # rag.graph_utils.UndirectedGraph.keep_parallel)
         self.keep_parallel = keep_parallel
-        if keep_parallel and path_backend != "python":
-            self.path_backend = path_backend = "python"
+        if keep_parallel and path_backend == "device":
+            from .native import available as native_available
+            self.path_backend = path_backend = (
+                "native" if native_available() else "python")
         self.max_hops = max_hops
         self.extractor = (BatchedPathExtractor(max_hops=max_hops)
                           if path_backend == "device" else None)
@@ -131,6 +134,13 @@ class RetrieverService:
                 })
             if self.path_backend == "device":
                 all_paths = self.extractor.extract(path_qs)
+            elif self.path_backend == "python":
+                from .rag.graph_utils import build_graph, get_truth_paths
+                all_paths = [get_truth_paths(
+                                 pq["q_entity"], pq["cand"],
+                                 build_graph(pq["graph"],
+                                             keep_parallel=self.keep_parallel))
+                             for pq in path_qs]
             else:
                 from .rag.graph_utils import get_truth_paths_fast
                 all_paths = [get_truth_paths_fast(

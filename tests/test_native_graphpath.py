@@ -75,3 +75,39 @@ def test_native_random_walks():
     # deterministic under the same seed
     walks2 = g.random_walks([node_id["a"]], n_walks=8, walk_len=3, seed=42)
     np.testing.assert_array_equal(walks, walks2)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_keep_parallel_matches_python(seed):
+    """Composite-rel ids reproduce the oracle's multi-relation
+    verbalization ("r1 | r2", first-seen order, deduped), in the same
+    path enumeration order."""
+    rng = np.random.default_rng(seed)
+    # few relations over a small node set -> frequent parallel edges,
+    # plus whitespace variants that must merge under strip semantics
+    triples = [(f"e{rng.integers(12)}",
+                f"r{rng.integers(3)}" + (" " if rng.integers(2) else ""),
+                f"e{rng.integers(12)}") for _ in range(60)]
+    q = [f"e{rng.integers(12)}", "NOT_IN_GRAPH"]
+    a = [f"e{rng.integers(12)}" for _ in range(4)] + ["missing"]
+    for kp in (False, True):
+        native_paths = native.truth_paths_native(triples, q, a,
+                                                 keep_parallel=kp)
+        g = graph_utils.build_graph(triples, keep_parallel=kp)
+        py_paths = graph_utils.get_truth_paths(q, a, g)
+        assert ([text_utils.path_to_string(p) for p in native_paths]
+                == [text_utils.path_to_string(p) for p in py_paths])
+    assert any(" | " in text_utils.path_to_string(p)
+               for p in native.truth_paths_native(triples, q, list(g.nodes()),
+                                                  keep_parallel=True))
+
+
+def test_native_intern_embedded_nul_falls_back():
+    """Embedded NULs would shift gp_intern's item boundaries; the wrapper
+    must detect this (C++ returns -2) and fall back to dict interning."""
+    triples = [("a\0b", "r", "c"), ("c", "r2", "d")]
+    out = native.truth_paths_native(triples, ["a\0b"], ["d"])
+    g = graph_utils.build_graph(triples)
+    py = graph_utils.get_truth_paths(["a\0b"], ["d"], g)
+    assert ([text_utils.path_to_string(p) for p in out]
+            == [text_utils.path_to_string(p) for p in py])
