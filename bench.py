@@ -344,6 +344,13 @@ def main():
             "end_to_end_train_sgps": t["training"].get(
                 "train_subgraphs_per_sec"),
         }
+        reader = t.get("rag_trained_reader", {}).get("eval_result")
+        if reader:
+            extra["trained_quality_synthqsp"]["rag_trained_reader"] = {
+                "hit_pct": reader.get("Hit"),
+                "hit1_pct": reader.get("Hit1"),
+                "f1_pct": reader.get("F1"),
+            }
     except Exception as exc:
         log("no trained-quality artifact:", exc)
 

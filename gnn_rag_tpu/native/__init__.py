@@ -17,6 +17,10 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libgraphpath.so")
 _lib = None
 
+import threading as _threading
+
+_TLS = _threading.local()
+
 
 _ABI_VERSION = 3
 
@@ -168,11 +172,24 @@ class NativeGraph:
         question's full candidate set."""
         dsts_a = np.ascontiguousarray(list(dsts), np.int32)
         n_dst = len(dsts_a)
-        nodes_cap, rels_cap, lens_cap = 1 << 16, 1 << 16, 1 << 14
+        # thread-local scratch buffers, grown on demand (a fresh np.empty
+        # per call cost ~0.5ms/question at CWQ shapes; thread-local because
+        # serve_http handles requests concurrently)
+        scratch = getattr(_TLS, "scratch", None)
+        if scratch is None:
+            scratch = _TLS.scratch = [np.empty(1 << 16, np.int32),
+                                      np.empty(1 << 16, np.int32),
+                                      np.empty(1 << 14, np.int32)]
+        nodes_cap, rels_cap, lens_cap = (len(scratch[0]), len(scratch[1]),
+                                         len(scratch[2]))
         while True:
-            out_nodes = np.empty(nodes_cap, np.int32)
-            out_rels = np.empty(rels_cap, np.int32)
-            out_lens = np.empty(lens_cap, np.int32)
+            if len(scratch[0]) < nodes_cap:
+                scratch[0] = np.empty(nodes_cap, np.int32)
+            if len(scratch[1]) < rels_cap:
+                scratch[1] = np.empty(rels_cap, np.int32)
+            if len(scratch[2]) < lens_cap:
+                scratch[2] = np.empty(lens_cap, np.int32)
+            out_nodes, out_rels, out_lens = scratch
             counts = np.empty(max(n_dst, 1), np.int32)
             n = self._lib.gp_paths_from_source(
                 self._handle, int(src),

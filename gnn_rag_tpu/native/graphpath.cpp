@@ -77,7 +77,10 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
   // order; epoch-stamped slot map avoids clearing an n_nodes array per row
   std::vector<int32_t> stamp(n_nodes, -1);
   std::vector<int64_t> slot_of(n_nodes, 0);
-  std::vector<std::vector<int32_t>> elists;  // keep_parallel: rels per slot
+  // keep_parallel: g->rel[slot] holds the FIRST relation; only slots that
+  // see a second distinct relation get a list here (parallel edges are a
+  // small minority — allocating a vector per slot cost ~40% of the build)
+  std::unordered_map<int64_t, std::vector<int32_t>> extra;
   g->row_ptr.assign(n_nodes + 1, 0);
   g->col.reserve(total);
   g->rel.reserve(total);
@@ -86,35 +89,33 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
     for (int64_t k = cnt[u]; k < cnt[u + 1]; ++k) {
       int32_t v = col[k];
       if (stamp[v] == u) {
+        int64_t s = slot_of[v];
         if (keep_parallel) {
-          auto& L = elists[slot_of[v]];
-          if (std::find(L.begin(), L.end(), rel[k]) == L.end())
-            L.push_back(rel[k]);
+          if (rel[k] != g->rel[s]) {
+            auto& L = extra[s];
+            if (L.empty()) L.push_back(g->rel[s]);
+            if (std::find(L.begin(), L.end(), rel[k]) == L.end())
+              L.push_back(rel[k]);
+          }
         } else {
-          g->rel[slot_of[v]] = rel[k];  // parallel edge: last one wins
+          g->rel[s] = rel[k];  // parallel edge: last one wins
         }
       } else {
         stamp[v] = u;
         slot_of[v] = static_cast<int64_t>(g->col.size());
         g->col.push_back(v);
         g->rel.push_back(rel[k]);
-        if (keep_parallel) elists.push_back({rel[k]});
       }
     }
     g->row_ptr[u + 1] = g->row_ptr[u]
         + (static_cast<int64_t>(g->col.size()) - row_start);
   }
-  if (keep_parallel) {
+  if (keep_parallel && !extra.empty()) {
     int32_t max_rel = -1;
     for (int32_t r : g->rel) max_rel = std::max(max_rel, r);
     g->n_base_rels = max_rel + 1;
     std::map<std::vector<int32_t>, int32_t> comp_ids;
-    for (size_t s = 0; s < elists.size(); ++s) {
-      const auto& L = elists[s];
-      if (L.size() == 1) {
-        g->rel[s] = L[0];
-        continue;
-      }
+    for (auto& [s, L] : extra) {
       auto [it, inserted] = comp_ids.emplace(
           L, g->n_base_rels + static_cast<int32_t>(comp_ids.size()));
       if (inserted) {
@@ -123,6 +124,10 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
       }
       g->rel[s] = it->second;
     }
+  } else if (keep_parallel) {
+    int32_t max_rel = -1;
+    for (int32_t r : g->rel) max_rel = std::max(max_rel, r);
+    g->n_base_rels = max_rel + 1;
   }
   return g;
 }
