@@ -95,3 +95,41 @@ def test_http_endpoint(service):
         assert "cand" in resp["results"][0]
     finally:
         httpd.shutdown()
+
+
+def test_path_backends_agree(service):
+    """native / python / device backends produce the same path SET for the
+    same questions; keep_parallel coerces the device backend away (it
+    implements collapse semantics only)."""
+    from gnn_rag_tpu import native as native_mod
+
+    def rebuild(**kw):
+        return RetrieverService(
+            service.cfg, service.vocab, service.params,
+            rel_hidden=service.rel_args[0], rel_hidden_inv=service.rel_args[1],
+            rel_text_mask=service.rel_args[2],
+            question_encoder=service.question_encoder, **kw)
+
+    q = make_question()
+    by_backend = {}
+    backends = ["python", "device"]
+    if native_mod.available():
+        backends.append("native")
+    for pb in backends:
+        out = rebuild(path_backend=pb).retrieve([q])
+        by_backend[pb] = sorted(out[0]["paths"])
+    ref = by_backend["python"]
+    for pb, paths in by_backend.items():
+        assert paths == ref, pb
+
+    svc_kp = rebuild(path_backend="device", keep_parallel=True)
+    assert svc_kp.path_backend in ("native", "python")
+    # parallel edge shows both relations under keep_parallel
+    q2 = make_question()
+    q2["subgraph"]["tuples"].append(
+        ["m.00", "location.location.contains", "m.01"])
+    out_kp = svc_kp.retrieve([q2])[0]["paths"]
+    out_plain = rebuild(path_backend="python").retrieve([q2])[0]["paths"]
+    assert any("people.person.place_of_birth | location.location.contains"
+               in p for p in out_kp)
+    assert not any(" | " in p for p in out_plain)
