@@ -205,6 +205,13 @@ def main():
                     help="dir with a trained llm_tpu reader (config.json + "
                          "checkpoint/): adds a rag_trained_reader stage "
                          "next to the mock-reader numbers")
+    ap.add_argument("--reader_key", default="rag_trained_reader",
+                    help="artifact key for the trained-reader stage (use a "
+                         "distinct key to keep multiple readers side by "
+                         "side, e.g. rag_trained_reader_kp)")
+    ap.add_argument("--skip_rag", action="store_true",
+                    help="reuse the existing artifact's mock-reader rag "
+                         "stage (only recompute the trained-reader stage)")
     args = ap.parse_args()
     preset = PRESETS[args.preset]
     DATA, CKPT_DIR, EXP = preset["data"], preset["ckpt_dir"], preset["exp"]
@@ -213,7 +220,17 @@ def main():
 
     os.makedirs("docs", exist_ok=True)
     info_path = os.path.join(CKPT_DIR, "test_r02.info")
-    res = {"dataset": preset["dataset"], "hyperparameters": preset["hyper"]}
+    # merge into the existing artifact so independently-computed stages
+    # (e.g. readers evaluated under different --reader_key) accumulate
+    res = {}
+    if os.path.exists(preset["out"]):
+        try:
+            with open(preset["out"]) as f:
+                res = json.load(f)
+        except Exception:
+            res = {}
+    res["dataset"] = preset["dataset"]
+    res["hyperparameters"] = preset["hyper"]
     res["training"] = parse_train_log(train_log, preset["n_train"])
     if not args.skip_eval or not os.path.exists(info_path):
         log("eval-only export on chip...")
@@ -223,8 +240,12 @@ def main():
     # load_gnn_rag zips the .info with a sibling test.json by line order
     qa_path = os.path.join(CKPT_DIR, "test.json")
     n = build_llm_test_json(qa_path)
-    log(f"LLM-side test.json: {n} questions; running RAG stage...")
-    res["rag"] = rag_stage(info_path, qa_path, os.path.join(CKPT_DIR, "rag"))
+    if args.skip_rag and "rag" in res:
+        log(f"LLM-side test.json: {n} questions; reusing mock rag stage")
+    else:
+        log(f"LLM-side test.json: {n} questions; running RAG stage...")
+        res["rag"] = rag_stage(info_path, qa_path,
+                               os.path.join(CKPT_DIR, "rag"))
 
     if args.reader_path:
         log("RAG stage with the TRAINED on-chip reader...")
@@ -234,10 +255,13 @@ def main():
         if os.path.exists(meta_p):
             with open(meta_p) as f:
                 kp = bool(json.load(f).get("keep_parallel", False))
-        res["rag_trained_reader"] = rag_stage(
-            info_path, qa_path, os.path.join(CKPT_DIR, "rag_trained"),
+        res[args.reader_key] = rag_stage(
+            info_path, qa_path,
+            os.path.join(CKPT_DIR, "rag_" + args.reader_key),
             model_name="llama_tpu", model_path=args.reader_path,
             keep_parallel=kp)
+        res[args.reader_key]["reader_path"] = args.reader_path
+        res[args.reader_key]["keep_parallel"] = kp
 
     with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)
