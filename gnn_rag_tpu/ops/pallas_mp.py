@@ -844,7 +844,8 @@ def gate_scatter(fact_rel, w, bias, ins, prior, direction, num_entities,
 def _fused_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
                      scatter_i_ref, prior_i_ref, vals_i_ref, ins_ref,
                      out_f_ref, out_i_ref, *, tile_e: int, tile_f: int,
-                     num_ins: int, dim: int, apply_relu: bool):
+                     num_ins: int, dim: int, apply_relu: bool,
+                     k_per_cell: int = 1):
     b = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -860,26 +861,32 @@ def _fused_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
     for d, (scatter_ref, prior_ref, vals_ref, out_ref) in enumerate((
             (scatter_f_ref, prior_f_ref, vals_f_ref, out_f_ref),
             (scatter_i_ref, prior_i_ref, vals_i_ref, out_i_ref))):
-        et = ct2_ref[b, d, c]
-        idx = scatter_ref[0, pl.ds(c, 1), :]                 # [1, TF]
-        pri = prior_ref[0, pl.ds(c, 1), :]                   # [1, TF]
-        onehot_pri = jnp.where((idx - et * tile_e) == rows,
-                               pri, 0.0).astype(dtype)       # [TE, TF]
-        rl = vals_ref[0, 0]                                  # [TF, D]
-        vals = []
-        for j in range(num_ins):
-            v = rl * ins_ref[0, pl.ds(j, 1), :]
-            if apply_relu:
-                v = jnp.maximum(v, 0.0)
-            vals.append(v)
-        val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
-        contrib = jax.lax.dot_general(
-            onehot_pri, val_all, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)                             # [TE, J*D]
-        cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
-        out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
-            cur + contrib.astype(out_ref.dtype))
+        # k_per_cell chunks per grid iteration: the per-iteration fixed cost
+        # (grid bookkeeping + block DMA setup, ~1.1us vs ~0.3us of MXU work
+        # at D=50) amortises over K chunks
+        for k in range(k_per_cell):
+            cc = c * k_per_cell + k
+            et = ct2_ref[b, d, cc]
+            idx = scatter_ref[0, pl.ds(cc, 1), :]            # [1, TF]
+            pri = prior_ref[0, pl.ds(cc, 1), :]              # [1, TF]
+            onehot_pri = jnp.where((idx - et * tile_e) == rows,
+                                   pri, 0.0).astype(dtype)   # [TE, TF]
+            rl = vals_ref[0, k]                              # [TF, D]
+            vals = []
+            for j in range(num_ins):
+                v = rl * ins_ref[0, pl.ds(j, 1), :]
+                if apply_relu:
+                    v = jnp.maximum(v, 0.0)
+                vals.append(v)
+            val_all = (jnp.concatenate(vals, axis=1) if num_ins > 1
+                       else vals[0])
+            contrib = jax.lax.dot_general(
+                onehot_pri, val_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                         # [TE, J*D]
+            cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
+            out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
+                cur + contrib.astype(out_ref.dtype))
 
 
 def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
@@ -900,16 +907,17 @@ def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
         return out_f, out_i
     tile_f = Fp // NC
     sh3 = (B, NC, tile_f)
+    K = _pick_k(NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NC),
+        grid=(B, NC // K),
         in_specs=[
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
         ],
         out_specs=[
@@ -918,7 +926,8 @@ def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
         ],
     )
     kernel = functools.partial(_fused_kernel_v4, tile_e=TILE_E, tile_f=tile_f,
-                               num_ins=J, dim=D, apply_relu=apply_relu)
+                               num_ins=J, dim=D, apply_relu=apply_relu,
+                               k_per_cell=K)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -942,7 +951,7 @@ def _fused_bwd_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
                          g_f_ref, g_i_ref,
                          dvf_ref, dvi_ref, dpf_ref, dpi_ref, dins_ref, *,
                          tile_e: int, tile_f: int, num_ins: int, dim: int,
-                         apply_relu: bool):
+                         apply_relu: bool, k_per_cell: int = 1):
     """Backward of v4: per chunk, the output-grad gather is a one-hot matmul
     against the VMEM-resident whole-sample grad block (dynamic sublane
     slice) — no per-chunk HBM traffic for g."""
@@ -963,16 +972,18 @@ def _fused_bwd_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
                         dvf_ref, dpf_ref),
                        (scatter_i_ref, prior_i_ref, vals_i_ref, g_i_ref,
                         dvi_ref, dpi_ref)))):
-        et = ct2_ref[b, d, c]
-        idx = scatter_ref[0, pl.ds(c, 1), :]                 # [1, TF]
-        pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)       # [1, TF]
+      for k in range(k_per_cell):
+        cc = c * k_per_cell + k
+        et = ct2_ref[b, d, cc]
+        idx = scatter_ref[0, pl.ds(cc, 1), :]                # [1, TF]
+        pri = prior_ref[0, pl.ds(cc, 1), :].astype(f32)      # [1, TF]
         onehot_t = ((idx - et * tile_e) == rows).astype(f32)  # [TE, TF]
         g_slice = g_ref[0, pl.ds(et * tile_e, tile_e), :].astype(f32)
         gb = jax.lax.dot_general(onehot_t, g_slice,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32,
                                  precision=precision)        # [TF, J*D]
-        rl = vals_ref[0, 0].astype(f32)                      # [TF, D]
+        rl = vals_ref[0, k].astype(f32)                      # [TF, D]
         pres = []
         for j in range(num_ins):
             pres.append(rl * ins_ref[0, pl.ds(j, 1), :].astype(f32))
@@ -984,7 +995,7 @@ def _fused_bwd_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32,
                                      precision=precision)    # [1, TF]
-        dp_ref[0, pl.ds(c, 1), :] = dp_row.astype(dp_ref.dtype)
+        dp_ref[0, pl.ds(cc, 1), :] = dp_row.astype(dp_ref.dtype)
         # each fact matches exactly one entity row: prior scaling commutes
         pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
                                       (((0,), (0,)), ((), ())),
@@ -999,7 +1010,7 @@ def _fused_bwd_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
             dfr += dval_j * ins_ref[0, pl.ds(j, 1), :].astype(f32)
             dins_ref[0, pl.ds(j, 1), :] += jnp.sum(
                 dval_j * rl, axis=0, keepdims=True).astype(dins_ref.dtype)
-        dv_ref[0, 0] = dfr.astype(dv_ref.dtype)
+        dv_ref[0, k] = dfr.astype(dv_ref.dtype)
 
 
 def _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
@@ -1020,23 +1031,24 @@ def _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
     tile_f = Fp // NC
     sh3 = (B, NC, tile_f)
     E = g_f.shape[1]
+    K = _pick_k(NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NC),
+        grid=(B, NC // K),
         in_specs=[
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
@@ -1044,7 +1056,7 @@ def _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
     )
     kernel = functools.partial(_fused_bwd_kernel_v4, tile_e=TILE_E,
                                tile_f=tile_f, num_ins=J, dim=D,
-                               apply_relu=apply_relu)
+                               apply_relu=apply_relu, k_per_cell=K)
     dvf4, dvi4, dpf3, dpi3, dins = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1150,7 +1162,7 @@ def gate_scatter_both(fact_rl_f, fact_rl_i, ins, prior_f, prior_i, layout,
 
 def _fused_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
                       out_ref, *, tile_e: int, tile_f: int, num_ins: int,
-                      dim: int, apply_relu: bool):
+                      dim: int, apply_relu: bool, k_per_cell: int = 1):
     b = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -1161,31 +1173,33 @@ def _fused_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
     dtype = vals_ref.dtype
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
-    et = ct_ref[b, c]
-    idx = scatter_ref[0, pl.ds(c, 1), :]
-    pri = prior_ref[0, pl.ds(c, 1), :]
-    onehot_pri = jnp.where((idx - et * tile_e) == rows, pri,
-                           0.0).astype(dtype)
-    rl = vals_ref[0, 0]
-    vals = []
-    for j in range(num_ins):
-        v = rl * ins_ref[0, pl.ds(j, 1), :]
-        if apply_relu:
-            v = jnp.maximum(v, 0.0)
-        vals.append(v)
-    val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
-    contrib = jax.lax.dot_general(
-        onehot_pri, val_all, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
-    out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
-        cur + contrib.astype(out_ref.dtype))
+    for k in range(k_per_cell):
+        cc = c * k_per_cell + k
+        et = ct_ref[b, cc]
+        idx = scatter_ref[0, pl.ds(cc, 1), :]
+        pri = prior_ref[0, pl.ds(cc, 1), :]
+        onehot_pri = jnp.where((idx - et * tile_e) == rows, pri,
+                               0.0).astype(dtype)
+        rl = vals_ref[0, k]
+        vals = []
+        for j in range(num_ins):
+            v = rl * ins_ref[0, pl.ds(j, 1), :]
+            if apply_relu:
+                v = jnp.maximum(v, 0.0)
+            vals.append(v)
+        val_all = jnp.concatenate(vals, axis=1) if num_ins > 1 else vals[0]
+        contrib = jax.lax.dot_general(
+            onehot_pri, val_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        cur = out_ref[0, pl.ds(et * tile_e, tile_e), :]
+        out_ref[0, pl.ds(et * tile_e, tile_e), :] = (
+            cur + contrib.astype(out_ref.dtype))
 
 
 def _fused_bwd_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
                           g_ref, dv_ref, dp_ref, dins_ref, *, tile_e: int,
                           tile_f: int, num_ins: int, dim: int,
-                          apply_relu: bool):
+                          apply_relu: bool, k_per_cell: int = 1):
     b = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -1197,37 +1211,53 @@ def _fused_bwd_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
     f32 = jnp.float32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_f), 0)
     ones_row = jnp.ones((1, num_ins * dim), f32)
-    et = ct_ref[b, c]
-    idx = scatter_ref[0, pl.ds(c, 1), :]
-    pri = prior_ref[0, pl.ds(c, 1), :].astype(f32)
-    onehot_t = ((idx - et * tile_e) == rows).astype(f32)
-    g_slice = g_ref[0, pl.ds(et * tile_e, tile_e), :].astype(f32)
-    gb = jax.lax.dot_general(onehot_t, g_slice, (((0,), (0,)), ((), ())),
-                             preferred_element_type=f32, precision=precision)
-    rl = vals_ref[0, 0].astype(f32)
-    pres = [rl * ins_ref[0, pl.ds(j, 1), :].astype(f32)
-            for j in range(num_ins)]
-    pre_all = jnp.concatenate(pres, axis=1) if num_ins > 1 else pres[0]
-    act_all = jnp.maximum(pre_all, 0.0) if apply_relu else pre_all
-    dp_row = jax.lax.dot_general(ones_row, gb * act_all,
-                                 (((1,), (1,)), ((), ())),
+    for k in range(k_per_cell):
+        cc = c * k_per_cell + k
+        et = ct_ref[b, cc]
+        idx = scatter_ref[0, pl.ds(cc, 1), :]
+        pri = prior_ref[0, pl.ds(cc, 1), :].astype(f32)
+        onehot_t = ((idx - et * tile_e) == rows).astype(f32)
+        g_slice = g_ref[0, pl.ds(et * tile_e, tile_e), :].astype(f32)
+        gb = jax.lax.dot_general(onehot_t, g_slice, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32,
                                  precision=precision)
-    dp_ref[0, pl.ds(c, 1), :] = dp_row.astype(dp_ref.dtype)
-    pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32,
-                                  precision=precision)
-    dval = gb * pri_col
-    if apply_relu:
-        dval = jnp.where(pre_all > 0, dval, 0.0)
-    dfr = jnp.zeros((tile_f, dim), f32)
-    for j in range(num_ins):
-        dval_j = dval[:, j * dim:(j + 1) * dim]
-        dfr += dval_j * ins_ref[0, pl.ds(j, 1), :].astype(f32)
-        dins_ref[0, pl.ds(j, 1), :] += jnp.sum(
-            dval_j * rl, axis=0, keepdims=True).astype(dins_ref.dtype)
-    dv_ref[0, 0] = dfr.astype(dv_ref.dtype)
+        rl = vals_ref[0, k].astype(f32)
+        pres = [rl * ins_ref[0, pl.ds(j, 1), :].astype(f32)
+                for j in range(num_ins)]
+        pre_all = jnp.concatenate(pres, axis=1) if num_ins > 1 else pres[0]
+        act_all = jnp.maximum(pre_all, 0.0) if apply_relu else pre_all
+        dp_row = jax.lax.dot_general(ones_row, gb * act_all,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32,
+                                     precision=precision)
+        dp_ref[0, pl.ds(cc, 1), :] = dp_row.astype(dp_ref.dtype)
+        pri_col = jax.lax.dot_general(pri, jnp.ones((1, 1), f32),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32,
+                                      precision=precision)
+        dval = gb * pri_col
+        if apply_relu:
+            dval = jnp.where(pre_all > 0, dval, 0.0)
+        dfr = jnp.zeros((tile_f, dim), f32)
+        for j in range(num_ins):
+            dval_j = dval[:, j * dim:(j + 1) * dim]
+            dfr += dval_j * ins_ref[0, pl.ds(j, 1), :].astype(f32)
+            dins_ref[0, pl.ds(j, 1), :] += jnp.sum(
+                dval_j * rl, axis=0, keepdims=True).astype(dins_ref.dtype)
+        dv_ref[0, k] = dfr.astype(dv_ref.dtype)
+
+
+def _pick_k(num_chunks: int) -> int:
+    """Chunks per grid cell: the largest divisor of NC up to the cap
+    (env GNN_RAG_V4_K). Fewer, fatter grid iterations amortise the
+    per-iteration fixed cost that dominates this op at D=50. Default 1
+    until the K>1 Mosaic path is timed on hardware (see BUILD_NOTES)."""
+    cap = int(os.environ.get("GNN_RAG_V4_K", "1"))
+    k = 1
+    for cand in (2, 4, 8, 16):
+        if cand <= cap and num_chunks % cand == 0:
+            k = cand
+    return k
 
 
 def _v4_vmem_split(num_entities: int, J: int, D: int) -> bool:
@@ -1246,13 +1276,14 @@ def _v4s_call(vals, prior, scatter, ct, num_entities, J, D, apply_relu,
     NC = ct.shape[1]
     tile_f = Fp // NC
     sh3 = (B, NC, tile_f)
+    K = _pick_k(NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NC),
+        grid=(B, NC // K),
         in_specs=[
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, num_entities, J * D),
@@ -1260,7 +1291,7 @@ def _v4s_call(vals, prior, scatter, ct, num_entities, J, D, apply_relu,
     )
     kernel = functools.partial(_fused_kernel_v4s, tile_e=TILE_E,
                                tile_f=tile_f, num_ins=J, dim=D,
-                               apply_relu=apply_relu)
+                               apply_relu=apply_relu, k_per_cell=K)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1283,25 +1314,26 @@ def _v4s_bwd_call(vals, prior, scatter, ct, g, J, D, apply_relu, interpret,
     tile_f = Fp // NC
     sh3 = (B, NC, tile_f)
     E = g.shape[1]
+    K = _pick_k(NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NC),
+        grid=(B, NC // K),
         in_specs=[
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, E, J * D), lambda b, c, ct: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
+            pl.BlockSpec((1, K, tile_f, D), lambda b, c, ct: (b, c, 0, 0)),
             pl.BlockSpec((1, NC, tile_f), lambda b, c, ct: (b, 0, 0)),
             pl.BlockSpec((1, J, D), lambda b, c, ct: (b, 0, 0)),
         ],
     )
     kernel = functools.partial(_fused_bwd_kernel_v4s, tile_e=TILE_E,
                                tile_f=tile_f, num_ins=J, dim=D,
-                               apply_relu=apply_relu)
+                               apply_relu=apply_relu, k_per_cell=K)
     dv4, dp3, dins = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

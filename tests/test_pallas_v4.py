@@ -16,7 +16,7 @@ from gnn_rag_tpu.data.kernel_layout import build_kernel_layout, pack_samples
 from gnn_rag_tpu.ops import pallas_mp as pm
 
 
-def _make_case(J, seed=0):
+def _make_case(J, seed=0, round_nc_to=1):
     rng = np.random.default_rng(seed)
     B, F, E, D = 2, 300, 256, 16
     heads = rng.integers(0, E, (B, F)).astype(np.int32)
@@ -26,6 +26,7 @@ def _make_case(J, seed=0):
     kl = build_kernel_layout(heads, rels, tails, mask, E, pad_rel=1)
     # both directions padded to a common chunk bound, like the loader does
     nc = max(kl.fwd.chunk_tiles.shape[1], kl.inv.chunk_tiles.shape[1]) + 1
+    nc = -(-nc // round_nc_to) * round_nc_to
     from gnn_rag_tpu.data.kernel_layout import build_sample_direction
     fwd_s = [build_sample_direction(tails[b][mask[b] > 0],
                                     heads[b][mask[b] > 0],
@@ -172,5 +173,72 @@ def test_v4_split_launch_matches_reference(J, monkeypatch):
                                -jnp.sin(want_i), True, interpret=True)
     for name, a, b in zip(["dvf", "dvi", "dins", "dpf", "dpi"],
                           g_kernel, g_auto):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("K", [1, 2, 8])
+def test_v4_k_per_cell_equivalence(K, monkeypatch):
+    """Fwd+bwd results are identical for every chunks-per-grid-cell K
+    (fatter grid iterations only amortise per-iteration cost)."""
+    monkeypatch.setenv("GNN_RAG_V4_K", str(K))
+    vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(
+        2, round_nc_to=K)
+    NC = ct2.shape[2]
+    assert pm._pick_k(NC) == K
+    got_f, got_i = pm._v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i,
+                                   sc_f, sc_i, ct2, E, True, interpret=True)
+    want_f, want_i = pm.gated_scatter_v4_reference(
+        vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E, True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(vf, vi, ii, pf, pi):
+        of, oi = pm.gated_scatter_v4_reference(vf, vi, ii, pf, pi, sc_f,
+                                               sc_i, ct2, E, True)
+        return jnp.sum(jnp.sin(of)) + jnp.sum(jnp.cos(oi))
+
+    g_auto = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        vals_f, vals_i, ins, prior_f, prior_i)
+    of, oi = pm.gated_scatter_v4_reference(vals_f, vals_i, ins, prior_f,
+                                           prior_i, sc_f, sc_i, ct2, E, True)
+    g_kernel = pm._v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, sc_f,
+                               sc_i, ct2, jnp.cos(of), -jnp.sin(oi),
+                               True, interpret=True)
+    for name, a, b in zip(["dvf", "dvi", "dins", "dpf", "dpi"],
+                          g_kernel, g_auto):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("K", [2, 8])
+def test_v4s_k_per_cell_equivalence(K, monkeypatch):
+    """Single-direction (big-E split) launches honour k_per_cell too."""
+    monkeypatch.setenv("GNN_RAG_V4_K", str(K))
+    vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(
+        3, round_nc_to=K)
+    NC = ct2.shape[2]
+    J, D = ins.shape[1], vals_f.shape[2]
+    got = pm._v4s_call(vals_f, prior_f, sc_f, ct2[:, 0], E, J, D, True,
+                       True, ins)
+    want, _ = pm.gated_scatter_v4_reference(vals_f, vals_i, ins, prior_f,
+                                            prior_i, sc_f, sc_i, ct2, E,
+                                            True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g = jnp.cos(want)
+    dv, dp, dins = pm._v4s_bwd_call(vals_f, prior_f, sc_f, ct2[:, 0], g, J,
+                                    D, True, True, ins)
+
+    def loss(vf, ii, pf):
+        of, _ = pm.gated_scatter_v4_reference(vf, vals_i, ii, pf, prior_i,
+                                              sc_f, sc_i, ct2, E, True)
+        return jnp.sum(jnp.sin(of))
+
+    ga = jax.grad(loss, argnums=(0, 1, 2))(vals_f, ins, prior_f)
+    for name, a, b in zip(["dv", "dins", "dp"], (dv, dins, dp),
+                          (ga[0], ga[1], ga[2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
