@@ -20,7 +20,7 @@ import json
 import os
 from typing import Callable, Iterable, List, Optional
 
-from ..rag.graph_utils import build_graph, get_truth_paths
+from ..rag.graph_utils import get_truth_paths_fast
 from ..rag.prompt_builder import PromptBuilder
 from ..rag.text_utils import InstructFormatter, rule_to_string
 
@@ -33,8 +33,8 @@ def extract_relation_paths(sample: dict, remove_duplicate: bool = False
                            ) -> List[dict]:
     """(question, relation path) records from ground shortest paths
     (build_align_qa_dataset.py:35-50)."""
-    graph = build_graph(sample["graph"])
-    paths = get_truth_paths(sample["q_entity"], sample["a_entity"], graph)
+    paths = get_truth_paths_fast(sample["graph"], sample["q_entity"],
+                                 sample["a_entity"])
     rel_paths = []
     for path in paths:
         rel_path = tuple(p[1] for p in path)
@@ -70,8 +70,8 @@ def format_qa_example(example: dict, input_builder: PromptBuilder,
                       eos_token: str = "</s>") -> dict:
     example = dict(example)
     example["cand"] = None
-    graph = build_graph(example["graph"])
-    paths = get_truth_paths(example["q_entity"], example["a_entity"], graph)
+    paths = get_truth_paths_fast(example["graph"], example["q_entity"],
+                                 example["a_entity"])
     ground_paths = {tuple(p[1] for p in path) for path in paths}
     example["ground_paths"] = [list(g) for g in ground_paths]
     text = (input_builder.process_input(example)
@@ -132,8 +132,8 @@ def generate_explanations(dataset: Iterable[dict], out_path: str, teacher,
                 break
             ex = dict(ex)
             ex["cand"] = None
-            graph = build_graph(ex["graph"])
-            paths = get_truth_paths(ex["q_entity"], ex["a_entity"], graph)
+            paths = get_truth_paths_fast(ex["graph"], ex["q_entity"],
+                                         ex["a_entity"])
             ex["ground_paths"] = [list({tuple(p[1] for p in pa)
                                         for pa in paths})]
             question_input = builder.process_input(ex)

@@ -15,7 +15,7 @@ import statistics
 from typing import Optional
 
 from .evaluate_results import eval_f1, eval_hit, eval_hit1
-from .graph_utils import build_graph, get_truth_paths
+from .graph_utils import get_truth_paths_fast
 from .predict import load_qa_dataset
 
 
@@ -38,9 +38,9 @@ def eval_result_multi_hop(predict_file: str, dataset=None,
             answer = data["ground_truth"]
             example = dataset[counter]
             counter += 1
-            graph = build_graph(example["graph"])
-            reasoning_paths = get_truth_paths(example["q_entity"], answer,
-                                              graph)
+            reasoning_paths = get_truth_paths_fast(example["graph"],
+                                                   example["q_entity"],
+                                                   answer)
             found = 0
             for ans in answer:
                 if ans in data["input"]:

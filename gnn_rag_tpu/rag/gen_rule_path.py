@@ -20,7 +20,7 @@ import re
 from dataclasses import dataclass
 from typing import Callable, List
 
-from .graph_utils import build_graph, get_truth_paths
+from .graph_utils import get_truth_paths_fast
 from .predict import get_output_file, load_qa_dataset
 from .text_utils import InstructFormatter
 
@@ -105,8 +105,8 @@ def gen_prediction(cfg: GenRulePathConfig, generate_seq: Callable,
             continue
         input_text = prompter.format(instruction=INSTRUCTION,
                                      message=data["question"])
-        graph = build_graph(data["graph"])
-        paths = get_truth_paths(data["q_entity"], data["a_entity"], graph)
+        paths = get_truth_paths_fast(data["graph"], data["q_entity"],
+                                     data["a_entity"])
         ground_paths = list({tuple(p[1] for p in path) for path in paths})
         raw_output = generate_seq(input_text, num_beams=cfg.n_beam,
                                   max_new_tokens=cfg.max_new_tokens,
