@@ -315,8 +315,11 @@ class KGQADataset:
                 fwd_s.extend([pad_sample] * (B - len(recs)))
                 inv_s.extend([pad_sample] * (B - len(recs)))
             # chunk count padded to the (E, F) bucket bound so the jitted
-            # step shape depends only on the bucket, never on batch content
+            # step shape depends only on the bucket, never on batch content;
+            # rounded to a multiple of 8 so the kernel's k_per_cell grid
+            # grouping (ops.pallas_mp._pick_k) divides it at every bucket
             nc_bucket = F // TILE_F + E // TILE_E
+            nc_bucket = -(-nc_bucket // 8) * 8
             layout = pack_samples(fwd_s, inv_s, E, self.num_kb_relation,
                                   num_chunks=nc_bucket)
 

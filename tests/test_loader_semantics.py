@@ -186,4 +186,7 @@ def test_layout_shapes_depend_only_on_buckets():
         assert d1.perm.shape == d2.perm.shape
     E = b1.entity_gids.shape[1]
     F = b1.heads.shape[1]
-    assert b1.layout.fwd.scatter.shape[1] == (F // 128 + E // 128) * 128
+    # chunk bound = bucket-derived, rounded to a multiple of 8 chunks so
+    # the kernel's k_per_cell grouping divides it at every bucket
+    nc = -(-(F // 128 + E // 128) // 8) * 8
+    assert b1.layout.fwd.scatter.shape[1] == nc * 128
