@@ -148,3 +148,76 @@ def test_flash_attention_fwd_bwd_on_chip():
     for name, a, b in zip("dq dk dv".split(), grads, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def v4_case():
+    from gnn_rag_tpu.data.kernel_layout import (build_sample_direction,
+                                                pack_samples)
+    rng = np.random.default_rng(1)
+    B, F, E, D, J = 2, 1500, 512, 64, 2
+    heads = rng.integers(0, E, (B, F)).astype(np.int32)
+    tails = rng.integers(0, E, (B, F)).astype(np.int32)
+    rels = np.zeros((B, F), np.int32)
+    mask = (rng.random((B, F)) > 0.1).astype(np.float32)
+    fwd_s = [build_sample_direction(tails[b][mask[b] > 0],
+                                    heads[b][mask[b] > 0],
+                                    rels[b][mask[b] > 0],
+                                    mask[b][mask[b] > 0], E, 1)
+             for b in range(B)]
+    inv_s = [build_sample_direction(heads[b][mask[b] > 0],
+                                    tails[b][mask[b] > 0],
+                                    rels[b][mask[b] > 0],
+                                    mask[b][mask[b] > 0], E, 1)
+             for b in range(B)]
+    # tuple layout: (scatter, gather, rels, weight, chunk_tiles, starts, perm)
+    nc = max(max(s[4].shape[0] for s in fwd_s),
+             max(s[4].shape[0] for s in inv_s)) + 1
+    nc = -(-nc // 8) * 8
+    kl = pack_samples(fwd_s, inv_s, E, 1, num_chunks=nc)
+    Fp = kl.fwd.scatter.shape[1]
+    vals_f = jnp.asarray(rng.standard_normal((B, Fp, D)).astype(np.float32))
+    vals_i = jnp.asarray(rng.standard_normal((B, Fp, D)).astype(np.float32))
+    ins = jnp.asarray(rng.standard_normal((B, J, D)).astype(np.float32))
+    prior_f = jnp.asarray((rng.random((B, Fp))
+                           * (kl.fwd.scatter >= 0)).astype(np.float32))
+    prior_i = jnp.asarray((rng.random((B, Fp))
+                           * (kl.inv.scatter >= 0)).astype(np.float32))
+    ct2 = jnp.stack([jnp.asarray(kl.fwd.chunk_tiles),
+                     jnp.asarray(kl.inv.chunk_tiles)], axis=1)
+    return (vals_f, vals_i, ins, prior_f, prior_i,
+            jnp.asarray(kl.fwd.scatter), jnp.asarray(kl.inv.scatter), ct2, E)
+
+
+@pytest.mark.parametrize("K", [1, 8])
+def test_v4_fwd_bwd_on_chip(v4_case, K, monkeypatch):
+    """Mosaic-compiled v4 (production path) at k_per_cell in {1, 8}."""
+    monkeypatch.setenv("GNN_RAG_V4_K", str(K))
+    vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = v4_case
+    got_f, got_i = jax.jit(
+        lambda *a: pm._v4_fwd_impl(*a, ct2, E, True))(
+        vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i)
+    with jax.default_matmul_precision("highest"):
+        want_f, want_i = pm.gated_scatter_v4_reference(
+            vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E, True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(vf, vi, ii, pf, pi):
+        with jax.default_matmul_precision("highest"):
+            of, oi = pm.gated_scatter_v4_reference(vf, vi, ii, pf, pi, sc_f,
+                                                   sc_i, ct2, E, True)
+        return jnp.sum(jnp.sin(of)) + jnp.sum(jnp.cos(oi))
+
+    g_auto = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        vals_f, vals_i, ins, prior_f, prior_i)
+    g_kernel = jax.jit(
+        lambda gf, gi: pm._v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i,
+                                       sc_f, sc_i, ct2, gf, gi, True))(
+        jnp.cos(want_f), -jnp.sin(want_i))
+    for name, a, b in zip(["dvf", "dvi", "dins", "dpf", "dpi"],
+                          g_kernel, g_auto):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
