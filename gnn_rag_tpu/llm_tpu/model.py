@@ -45,6 +45,10 @@ class LlamaConfig:
                                     # in backward (jax.checkpoint): trades
                                     # FLOPs for HBM, required for 16k-context
                                     # training on a single 16GB chip
+    quant: str = "none"             # "int8": weight-only per-channel int8
+                                    # projections (llm_tpu.quant) — halves
+                                    # the bytes the bs=1 decode GEMV streams;
+                                    # params come from quant.quantize_params
 
     @property
     def head_dim(self) -> int:
@@ -104,6 +108,21 @@ def _reference_attention(q, k, v, causal_offset, kv_valid=None):
     return jnp.einsum("bhls,bshd->blhd", probs, v)
 
 
+def _dense_general(cfg: LlamaConfig):
+    """nn.DenseGeneral, or its int8 weight-only drop-in under quant="int8"
+    (llm_tpu.quant.QuantDenseGeneral; params from quant.quantize_params)."""
+    if cfg.quant == "int8":
+        from .quant import QuantDenseGeneral
+
+        def make(features, axis=-1, use_bias=False, name=None,
+                 dtype=jnp.bfloat16):
+            assert not use_bias
+            return QuantDenseGeneral(features=features, axis=axis,
+                                     dtype=dtype, name=name)
+        return make
+    return nn.DenseGeneral
+
+
 class Attention(nn.Module):
     cfg: LlamaConfig
 
@@ -114,9 +133,10 @@ class Attention(nn.Module):
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
         dt = getattr(jnp, cfg.dtype)
-        q = nn.DenseGeneral((H, D), use_bias=False, name="q_proj", dtype=dt)(x)
-        k = nn.DenseGeneral((KV, D), use_bias=False, name="k_proj", dtype=dt)(x)
-        v = nn.DenseGeneral((KV, D), use_bias=False, name="v_proj", dtype=dt)(x)
+        dense = _dense_general(cfg)
+        q = dense((H, D), use_bias=False, name="q_proj", dtype=dt)(x)
+        k = dense((KV, D), use_bias=False, name="k_proj", dtype=dt)(x)
+        v = dense((KV, D), use_bias=False, name="v_proj", dtype=dt)(x)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -156,8 +176,8 @@ class Attention(nn.Module):
                 out = flash_attention(q, k_all, v_all)
         else:
             out = _reference_attention(q, k_all, v_all, offset, kv_valid)
-        out = nn.DenseGeneral(cfg.dim, axis=(-2, -1), use_bias=False,
-                              name="o_proj", dtype=dt)(out)
+        out = dense(cfg.dim, axis=(-2, -1), use_bias=False,
+                    name="o_proj", dtype=dt)(out)
         return out, new_cache
 
 
@@ -168,12 +188,13 @@ class MLP(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         dt = getattr(jnp, cfg.dtype)
-        gate = nn.Dense(cfg.intermediate, use_bias=False, name="gate_proj",
-                        dtype=dt)(x)
-        up = nn.Dense(cfg.intermediate, use_bias=False, name="up_proj",
-                      dtype=dt)(x)
-        return nn.Dense(cfg.dim, use_bias=False, name="down_proj",
-                        dtype=dt)(jax.nn.silu(gate) * up)
+        dense = _dense_general(cfg)
+        gate = dense(cfg.intermediate, use_bias=False, name="gate_proj",
+                     dtype=dt)(x)
+        up = dense(cfg.intermediate, use_bias=False, name="up_proj",
+                   dtype=dt)(x)
+        return dense(cfg.dim, use_bias=False, name="down_proj",
+                     dtype=dt)(jax.nn.silu(gate) * up)
 
 
 class Block(nn.Module):
@@ -241,8 +262,9 @@ class LlamaLM(nn.Module):
             logits = x.astype(jnp.float32) @ emb.embedding.astype(
                 jnp.float32).T
         else:
-            logits = nn.Dense(cfg.vocab_size, use_bias=False,
-                              name="lm_head")(x.astype(jnp.float32))
+            logits = _dense_general(cfg)(
+                cfg.vocab_size, use_bias=False, name="lm_head",
+                dtype=jnp.float32)(x.astype(jnp.float32))
         return logits, caches
 
     def init_kv_cache(self, batch_size: int, max_len: int):

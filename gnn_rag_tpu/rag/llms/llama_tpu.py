@@ -117,6 +117,11 @@ class LlamaTPU(BaseLanguageModel):
         parser.add_argument("--model_path", type=str, default=None,
                             help="dir with checkpoint/ and config.json")
         parser.add_argument("--max_new_tokens", type=int, default=64)
+        parser.add_argument("--quant", type=str, default=None,
+                            choices=["int8"],
+                            help="weight-only int8 serving: quantize the "
+                                 "checkpoint at load (halves decode HBM "
+                                 "traffic, llm_tpu.quant)")
 
     def __init__(self, args, tokenizer=None):
         self.args = args
@@ -147,6 +152,13 @@ class LlamaTPU(BaseLanguageModel):
         dummy = model.init(__import__("jax").random.PRNGKey(0),
                            jnp.zeros((1, 8), jnp.int32))
         params = load_pytree(os.path.join(path, "checkpoint"), dummy)
+        quant = getattr(self.args, "quant", None)
+        if quant == "int8" and cfg.quant != "int8":
+            import dataclasses as _dc
+
+            from ...llm_tpu.quant import quantize_params
+            params = quantize_params(params)
+            model = LlamaLM(_dc.replace(cfg, quant="int8"))
         self.decoder = Decoder(model, params, max_len=cfg.max_seq_len)
 
     def tokenize(self, text: str) -> int:

