@@ -159,31 +159,93 @@ class RetrieverService:
     # ------------------------------------------------------------------
     def serve_http(self, host: str = "localhost", port: int = 0):
         """POST /retrieve with {"questions": [...]} -> results JSON."""
-        import threading
-        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        return _serve_http(host, port, {"/retrieve": (
+            lambda body: {"results": self.retrieve(
+                body.get("questions", []),
+                with_paths=body.get("with_paths", True))})})
 
-        service = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
+class QAService:
+    """End-to-end KGQA in ONE process: GNN retrieval -> shortest-path
+    verbalization -> prompt -> LLM reader -> answer.
 
-            def do_POST(self):
-                if self.path.rstrip("/") != "/retrieve":
-                    self.send_error(404)
-                    return
-                length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length) or b"{}")
-                out = service.retrieve(body.get("questions", []),
-                                       with_paths=body.get("with_paths", True))
-                payload = json.dumps({"results": out}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+    New capability: the reference couples its two stages only through
+    offline files (.info dumps moved by hand, gnn/README.md:22 ->
+    predict_answer.py:43-80); here a question with its subgraph goes in and
+    the read answer comes out of a single service, reusing the exact
+    PromptBuilder semantics (eps-cumulative candidates, token-budget
+    truncation) of the offline path."""
 
-        httpd = ThreadingHTTPServer((host, port), Handler)
-        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
-        thread.start()
-        return httpd
+    def __init__(self, retriever: RetrieverService, reader, *,
+                 prompt_path: str = "prompts/llama2_predict.txt",
+                 top_k_cand: int = 10, keep_parallel: Optional[bool] = None):
+        # reader: any rag.llms registry backend, already prepared
+        # (mock, llama_tpu [--quant int8], hf_causal, openai_chat, ...)
+        self.retriever = retriever
+        self.reader = reader
+        if keep_parallel is None:
+            keep_parallel = retriever.keep_parallel
+        from .rag.prompt_builder import PromptBuilder
+        self.builder = PromptBuilder(
+            prompt_path, maximun_token=reader.maximun_token,
+            tokenize=reader.tokenize, keep_parallel=keep_parallel)
+        self.top_k_cand = top_k_cand
+
+    def answer(self, questions: Sequence[dict]) -> List[dict]:
+        """questions: reference JSONL schema; returns per-question
+        {prediction, cand, prompt}."""
+        retrieved = self.retriever.retrieve(questions, with_paths=False)
+        prompts = []
+        for q, r in zip(questions, retrieved):
+            ex = {"question": q["question"],
+                  "graph": q["subgraph"]["tuples"],
+                  "q_entity": q.get("entities", []),
+                  "cand": [c for c, _ in r["cand"][:self.top_k_cand]],
+                  "choices": q.get("choices", [])}
+            prompts.append(self.builder.process_input(ex))
+        if hasattr(self.reader, "generate_batch"):
+            outs = self.reader.generate_batch(prompts)
+        else:
+            outs = [self.reader.generate_sentence(p) for p in prompts]
+        return [{"prediction": o, "cand": r["cand"], "prompt": p}
+                for o, r, p in zip(outs, retrieved, prompts)]
+
+    def serve_http(self, host: str = "localhost", port: int = 0):
+        """POST /answer with {"questions": [...]} -> answers JSON; also
+        exposes the underlying /retrieve."""
+        return _serve_http(host, port, {
+            "/answer": (lambda body: {"results": self.answer(
+                body.get("questions", []))}),
+            "/retrieve": (lambda body: {"results": self.retriever.retrieve(
+                body.get("questions", []),
+                with_paths=body.get("with_paths", True))}),
+        })
+
+
+def _serve_http(host: str, port: int, routes):
+    """Minimal threaded JSON-POST server over a {path: handler} table."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            handler = routes.get(self.path.rstrip("/"))
+            if handler is None:
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            payload = json.dumps(handler(body)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd

@@ -133,3 +133,43 @@ def test_path_backends_agree(service):
     assert any("people.person.place_of_birth | location.location.contains"
                in p for p in out_kp)
     assert not any(" | " in p for p in out_plain)
+
+
+def test_qa_service_end_to_end(service):
+    """QAService: question+subgraph in -> read answer out, one process.
+    With the mock reader (echoes path tails), the prediction must contain
+    the path-reachable candidate."""
+    import argparse
+
+    from gnn_rag_tpu.rag.llms.mock import MockLLM
+    from gnn_rag_tpu.serve import QAService
+
+    reader = MockLLM(argparse.Namespace(max_new_tokens=64))
+    reader.prepare_for_inference()
+    qa = QAService(service, reader)
+    out = qa.answer([make_question()])
+    assert len(out) == 1
+    assert "Reasoning Paths:" in out[0]["prompt"]
+    assert out[0]["cand"]
+    # mock echoes path tails; m.01/m.02 are reachable from m.00
+    assert any(t in out[0]["prediction"] for t in ("m.01", "m.02"))
+
+    httpd = qa.serve_http(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/answer",
+            data=json.dumps({"questions": [make_question()]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = json.loads(r.read())
+        assert resp["results"][0]["prediction"] == out[0]["prediction"]
+        # /retrieve stays available on the same endpoint
+        req2 = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/retrieve",
+            data=json.dumps({"questions": [make_question()]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=60) as r:
+            resp2 = json.loads(r.read())
+        assert "cand" in resp2["results"][0]
+    finally:
+        httpd.shutdown()
