@@ -45,36 +45,53 @@ def hbm_gb():
 
 
 def random_bf16_params(model, cfg):
-    """Materialise bf16 params directly on device: eval_shape gives the
-    pytree, each leaf is filled by a jitted PRNG normal — the f32 tree a
-    plain init would build (26.8 GB) never exists."""
+    """Materialise params directly on device: eval_shape gives the pytree,
+    each leaf is filled by a jitted PRNG draw in the LEAF's dtype — the f32
+    tree a plain init would build (26.8 GB) never exists. Under
+    quant='int8' the kernel_q leaves come out as random int8 (values don't
+    matter for a throughput study; bytes and layout do)."""
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 8), jnp.int32))
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def leaf(key, shape):
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def leaf(key, shape, dtype):
+        if dtype == jnp.int8:
+            return jax.random.randint(key, shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        if dtype == jnp.float32:
+            return jnp.abs(jax.random.normal(key, shape, jnp.float32)) * 0.01
         return (jax.random.normal(key, shape, jnp.bfloat16) * 0.02)
 
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
-    out = [leaf(k, tuple(s.shape)) for k, s in zip(keys, leaves)]
+    out = [leaf(k, tuple(s.shape), s.dtype) for k, s in zip(keys, leaves)]
     n_params = sum(int(np.prod(s.shape)) for s in leaves)
-    return jax.tree_util.tree_unflatten(treedef, out), n_params
+    n_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize for s in leaves)
+    return jax.tree_util.tree_unflatten(treedef, out), n_params, n_bytes
 
 
 def main():
+    import argparse
+    import dataclasses
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8: weight-only per-channel serving path "
+                         "(llm_tpu.quant) -> docs/llm7b_int8_r03.json")
+    cli = ap.parse_args()
+
     result = {"config": {"dim": 4096, "n_layers": 32, "n_heads": 32,
                          "intermediate": 11008, "vocab": 32000,
-                         "dtype": "bfloat16"}}
-    cfg = LlamaConfig(max_seq_len=2048, dtype="bfloat16", use_flash=True)
+                         "dtype": "bfloat16", "quant": cli.quant}}
+    cfg = LlamaConfig(max_seq_len=2048, dtype="bfloat16", use_flash=True,
+                      quant=cli.quant)
     model = LlamaLM(cfg)
     t0 = time.time()
-    params, n_params = random_bf16_params(model, cfg)
+    params, n_params, n_bytes = random_bf16_params(model, cfg)
     jax.block_until_ready(params)
     result["n_params"] = n_params
-    result["param_gb"] = round(n_params * 2 / 2**30, 2)
+    result["param_gb"] = round(n_bytes / 2**30, 2)
     in_use, peak = hbm_gb()
     result["hbm_after_params_gb"] = in_use
     log(f"params ready: {n_params/1e9:.2f}B, {in_use} GB in use, "
@@ -149,8 +166,10 @@ def main():
                       "ZeRO-style) on 16GB chips; inference fits on ONE chip",
     }
 
+    out_name = ("llm7b_int8_r03.json" if cli.quant == "int8"
+                else "llm7b_r03.json")
     out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                            "llm7b_r03.json")
+                            out_name)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
