@@ -250,3 +250,142 @@ class Decoder:
                     ) -> Tuple[List[List[int]], np.ndarray, np.ndarray]:
         return self.beam_search_batch([prompt_tokens], num_beams,
                                       max_new_tokens, eos_id)[0]
+
+
+class SpeculativeDecoder:
+    """Greedy speculative decoding (draft-and-verify), single sequence.
+
+    A small DRAFT model proposes ``gamma`` tokens from its own kv cache;
+    the TARGET model scores all of them in ONE chunked forward (γ+1
+    positions through its kv cache) and the longest agreeing prefix is
+    accepted plus one bonus token from the target's own argmax — so the
+    output is EXACTLY the target's greedy continuation, but the target
+    runs once per accepted-run instead of once per token. bs=1 by design:
+    speculation is the low-batch-latency lever (at bs>=8 the weight
+    stream is already amortised; batch rows would also accept different
+    lengths, needing per-row cache frontiers the kv layout doesn't have).
+
+    New capability (serving): the reference decodes token-by-token through
+    HF pipelines (llama.py:15-36). Combine with weight-only int8
+    (llm_tpu.quant) for the full low-latency single-chip serving story.
+
+    Exactness contract (tested): for any draft, output == Decoder.greedy
+    of the target. Draft and target must share the tokenizer/vocab.
+    """
+
+    def __init__(self, target: LlamaLM, target_params, draft: LlamaLM,
+                 draft_params, max_len: int = 512, gamma: int = 4):
+        assert target.cfg.vocab_size == draft.cfg.vocab_size
+        self.target = target
+        self.tp = target_params
+        self.draft = draft
+        self.dp = draft_params
+        self.max_len = max_len
+        self.gamma = int(gamma)
+        self._run = jax.jit(self._spec_impl, static_argnums=(3, 4))
+
+    # ------------------------------------------------------------------
+    def _chunk_forward(self, model, params, caches, tokens_1xc, start_slot):
+        """Forward C tokens at slots [start, start+C) of the kv cache.
+        Validity = everything up to and including this chunk."""
+        C = tokens_1xc.shape[1]
+        positions = (start_slot + jnp.arange(C, dtype=jnp.int32))[None, :]
+        kv_valid = (jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
+                    < start_slot + C).astype(jnp.float32)
+        logits, caches = model.apply(params, tokens_1xc, positions=positions,
+                                     kv_caches=caches,
+                                     cache_index=start_slot,
+                                     kv_valid=kv_valid)
+        return logits, caches
+
+    def _spec_impl(self, tp, dp, tokens, max_new: int, eos_id: int):
+        """tokens [1, L] (exact prompt, no padding)."""
+        L = tokens.shape[1]
+        gamma = self.gamma
+        caches_t = self.target.init_kv_cache(1, self.max_len)
+        caches_d = self.draft.init_kv_cache(1, self.max_len)
+        logits_t, caches_t = self._chunk_forward(self.target, tp, caches_t,
+                                                 tokens, 0)
+        _, caches_d = self._chunk_forward(self.draft, dp, caches_d,
+                                          tokens, 0)
+        first = jnp.argmax(logits_t[0, -1]).astype(jnp.int32)
+        cap = max_new + gamma + 1
+        out = jnp.zeros(cap, jnp.int32).at[0].set(first)
+        state = (jnp.asarray(1, jnp.int32),       # n_out emitted
+                 first,                           # last accepted token
+                 caches_t, caches_d,
+                 first == eos_id,                 # done
+                 out,
+                 jnp.asarray(0, jnp.int32),       # target forwards
+                 jnp.asarray(0, jnp.int32))       # accepted draft tokens
+
+    # loop invariant: the last accepted token `cur` sits at slot
+    # L + n_out - 1 and is NOT yet in either cache.
+
+        def cond(st):
+            n_out, _, _, _, done, _, _, _ = st
+            return jnp.logical_and(n_out < max_new, ~done)
+
+        def body(st):
+            n_out, cur, caches_t, caches_d, done, out, n_fwd, n_acc = st
+            s = L + n_out - 1
+
+            # ---- draft proposes gamma tokens autoregressively. One EXTRA
+            # step (gamma+1 total, prediction discarded) consumes the last
+            # draft token so the draft cache covers slot s+gamma — without
+            # it, a fully-accepted round leaves a hole the next round's
+            # attention would read as zeros.
+            def d_step(g, dst):
+                d_cur, caches_d, drafts = dst
+                lg, caches_d = self._chunk_forward(
+                    self.draft, dp, caches_d, d_cur[None, None], s + g)
+                nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+                return nxt, caches_d, drafts.at[g].set(nxt)
+
+            d0 = (cur, caches_d, jnp.zeros(gamma + 1, jnp.int32))
+            _, caches_d, drafts = jax.lax.fori_loop(0, gamma + 1, d_step, d0)
+            drafts = drafts[:gamma]
+
+            # ---- target verifies the whole run in one chunk forward
+            chunk = jnp.concatenate([cur[None], drafts])[None, :]  # [1, γ+1]
+            lg_t, caches_t = self._chunk_forward(self.target, tp,
+                                                 caches_t, chunk, s)
+            preds = jnp.argmax(lg_t[0], axis=-1).astype(jnp.int32)  # [γ+1]
+
+            # longest prefix of drafts matching the target's argmax
+            agree = preds[:gamma] == drafts
+            k = jnp.argmin(jnp.concatenate(
+                [agree, jnp.zeros(1, bool)]).astype(jnp.int32))  # 0..γ
+            # emit drafts[:k] + bonus preds[k]; truncate at the first eos
+            emitted = jnp.where(jnp.arange(gamma + 1) < k,
+                                jnp.concatenate([drafts, drafts[-1:]]),
+                                preds[jnp.minimum(k, gamma)])
+            is_eos = emitted == eos_id
+            first_eos = jnp.argmax(jnp.concatenate(
+                [is_eos, jnp.ones(1, bool)]).astype(jnp.int32))
+            n_emit = jnp.minimum(k + 1, first_eos + 1).astype(jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, emitted, (n_out,))
+            new_done = first_eos < n_emit
+            return (n_out + n_emit, emitted[n_emit - 1], caches_t, caches_d,
+                    new_done, out, n_fwd + 1, n_acc + k)
+
+        n_out, _, _, _, _, out, n_fwd, n_acc = jax.lax.while_loop(
+            cond, body, state)
+        return out, n_out, n_fwd, n_acc
+
+    # ------------------------------------------------------------------
+    def greedy(self, prompt_tokens: List[int], max_new_tokens: int = 128,
+               eos_id: Optional[int] = None) -> List[int]:
+        toks = jnp.asarray(np.asarray(prompt_tokens, np.int32)[None, :])
+        assert toks.shape[1] + max_new_tokens + self.gamma + 1 <= self.max_len
+        out, n_out, n_fwd, n_acc = self._run(
+            self.tp, self.dp, toks, max_new_tokens,
+            -1 if eos_id is None else eos_id)
+        n = min(int(n_out), max_new_tokens)
+        seq = np.asarray(out)[:n].tolist()
+        if eos_id is not None and eos_id in seq:
+            seq = seq[: seq.index(eos_id) + 1]
+        self.last_stats = {"target_forwards": int(n_fwd) + 1,
+                           "draft_accepted": int(n_acc),
+                           "tokens": len(seq)}
+        return seq

@@ -152,3 +152,68 @@ def test_tied_embeddings_model_and_loss():
     nll = -jnp.take_along_axis(lp, toks[:, 1:, None], -1)[..., 0]
     l_d = (nll * mask[:, 1:]).sum() / mask[:, 1:].sum()
     assert abs(float(l_ch) - float(l_d)) < 1e-3
+
+
+class TestSpeculativeDecoder:
+    """Greedy speculative decoding: output must EXACTLY equal the target's
+    greedy continuation, for any draft model."""
+
+    def _mk(self, seed, vocab=64, dim=32, layers=2):
+        import jax
+        import jax.numpy as jnp
+
+        from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+        cfg = LlamaConfig(vocab_size=vocab, dim=dim, n_layers=layers,
+                          n_heads=4, n_kv_heads=4, intermediate=64,
+                          max_seq_len=256, dtype="float32")
+        model = LlamaLM(cfg)
+        params = model.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 8), jnp.int32))
+        return model, params
+
+    @pytest.mark.parametrize("gamma", [1, 3, 5])
+    def test_exact_match_independent_draft(self, gamma):
+        from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
+
+        target, tp = self._mk(0)
+        draft, dp = self._mk(1, layers=1)
+        dec = Decoder(target, tp, max_len=256)
+        spec = SpeculativeDecoder(target, tp, draft, dp, max_len=256,
+                                  gamma=gamma)
+        for prompt in ([5, 9, 13, 2, 7], list(range(1, 33))):
+            want = dec.greedy(prompt, max_new_tokens=24)
+            got = spec.greedy(prompt, max_new_tokens=24)
+            assert got == want, (gamma, prompt[:4], got, want)
+
+    def test_self_draft_accepts_everything(self):
+        """draft == target: every proposal agrees, so each round emits
+        gamma+1 tokens with ONE target forward."""
+        from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
+
+        target, tp = self._mk(0)
+        dec = Decoder(target, tp, max_len=256)
+        spec = SpeculativeDecoder(target, tp, target, tp, max_len=256,
+                                  gamma=4)
+        prompt = [3, 1, 4, 1, 5]
+        want = dec.greedy(prompt, max_new_tokens=20)
+        got = spec.greedy(prompt, max_new_tokens=20)
+        assert got == want
+        st = spec.last_stats
+        # 20 tokens at 5/round -> 4 verify forwards (+1 prefill)
+        assert st["target_forwards"] <= 1 + -(-20 // 5) + 1, st
+        assert st["draft_accepted"] >= 16, st
+
+    def test_eos_stops_early(self):
+        from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
+
+        target, tp = self._mk(0)
+        draft, dp = self._mk(2, layers=1)
+        dec = Decoder(target, tp, max_len=256)
+        spec = SpeculativeDecoder(target, tp, draft, dp, max_len=256, gamma=3)
+        prompt = [7, 7, 7, 7]
+        want = dec.greedy(prompt, max_new_tokens=40)
+        # pick the token the target emits at step 3 as "eos" and re-decode
+        eos = want[2]
+        want_eos = dec.greedy(prompt, max_new_tokens=40, eos_id=eos)
+        got = spec.greedy(prompt, max_new_tokens=40, eos_id=eos)
+        assert got == want_eos
