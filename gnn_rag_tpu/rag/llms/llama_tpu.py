@@ -122,6 +122,13 @@ class LlamaTPU(BaseLanguageModel):
                             help="weight-only int8 serving: quantize the "
                                  "checkpoint at load (halves decode HBM "
                                  "traffic, llm_tpu.quant)")
+        parser.add_argument("--draft_path", type=str, default=None,
+                            help="dir with a SMALLER reader bundle sharing "
+                                 "this vocab: single-prompt generation uses "
+                                 "speculative draft-and-verify decoding "
+                                 "(exact greedy parity, generate."
+                                 "SpeculativeDecoder)")
+        parser.add_argument("--spec_gamma", type=int, default=4)
 
     def __init__(self, args, tokenizer=None):
         self.args = args
@@ -160,6 +167,20 @@ class LlamaTPU(BaseLanguageModel):
             params = quantize_params(params)
             model = LlamaLM(_dc.replace(cfg, quant="int8"))
         self.decoder = Decoder(model, params, max_len=cfg.max_seq_len)
+        self.spec = None
+        draft_path = getattr(self.args, "draft_path", None)
+        if draft_path:
+            from ...llm_tpu.generate import SpeculativeDecoder
+            with open(os.path.join(draft_path, "config.json")) as f:
+                dcfg = LlamaConfig(**json.load(f))
+            dmodel = LlamaLM(dcfg)
+            ddummy = dmodel.init(__import__("jax").random.PRNGKey(0),
+                                 jnp.zeros((1, 8), jnp.int32))
+            dparams = load_pytree(os.path.join(draft_path, "checkpoint"),
+                                  ddummy)
+            self.spec = SpeculativeDecoder(
+                model, params, dmodel, dparams, max_len=cfg.max_seq_len,
+                gamma=int(getattr(self.args, "spec_gamma", 4) or 4))
 
     def tokenize(self, text: str) -> int:
         return len(self.tok.encode(text))
@@ -167,8 +188,12 @@ class LlamaTPU(BaseLanguageModel):
     def generate_sentence(self, llm_input: str) -> str:
         # Decoder.greedy returns the NEW tokens only (generate.py contract)
         ids = self.tok.encode(llm_input)[-self.maximun_token:]
-        out = self.decoder.greedy(ids, max_new_tokens=self.max_new,
-                                  eos_id=self.tok.eos_id)
+        if self.spec is not None:
+            out = self.spec.greedy(ids, max_new_tokens=self.max_new,
+                                   eos_id=self.tok.eos_id)
+        else:
+            out = self.decoder.greedy(ids, max_new_tokens=self.max_new,
+                                      eos_id=self.tok.eos_id)
         return self.tok.decode(out).strip()
 
     def generate_batch(self, llm_inputs: List[str]) -> List[str]:

@@ -95,3 +95,44 @@ def test_llama_tpu_backend_int8_quant(tmp_path):
     import jax.numpy as jnp2
     leaves = jax.tree_util.tree_leaves(be.decoder.params)
     assert any(l.dtype == jnp2.int8 for l in leaves)
+
+
+def test_llama_tpu_backend_speculative(tmp_path):
+    """--draft_path: single-prompt generation goes through speculative
+    decoding and matches the plain greedy backend exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+    from gnn_rag_tpu.rag.llms.llama_tpu import LlamaTPU
+    from gnn_rag_tpu.utils.checkpoint import save_pytree
+
+    def save_bundle(d, seed, layers):
+        mcfg = LlamaConfig(vocab_size=259, dim=32, n_layers=layers,
+                           n_heads=4, n_kv_heads=4, intermediate=64,
+                           max_seq_len=128, dtype="float32")
+        model = LlamaLM(mcfg)
+        params = model.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 8), jnp.int32))
+        os.makedirs(d, exist_ok=True)
+        save_pytree(os.path.join(d, "checkpoint"), params)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(mcfg), f)
+
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    save_bundle(tdir, 0, 2)
+    save_bundle(ddir, 1, 1)
+
+    @dataclasses.dataclass
+    class Args:
+        model_path: str = tdir
+        max_new_tokens: int = 8
+        draft_path: str = None
+
+    plain = LlamaTPU(Args())
+    plain.prepare_for_inference()
+    spec = LlamaTPU(Args(draft_path=ddir))
+    spec.prepare_for_inference()
+    assert spec.spec is not None
+    prompt = "what do they speak in jamaica?"
+    assert spec.generate_sentence(prompt) == plain.generate_sentence(prompt)
