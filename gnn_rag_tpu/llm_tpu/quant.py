@@ -97,7 +97,13 @@ def _flatten_kernel(w: jnp.ndarray, module_name: str) -> jnp.ndarray:
 def quantize_params(params) -> dict:
     """Map a full-precision LlamaLM param tree to the quant="int8" tree:
     every QUANT_KERNELS module's {kernel} becomes {kernel_q, scale};
-    everything else (embeddings, norms) passes through unchanged."""
+    everything else (embeddings, norms) passes through unchanged.
+
+    Memory note: both trees are alive during the walk. For checkpoints
+    near the HBM limit (7B bf16 = 12.6GB on a 16GB chip), restore the
+    checkpoint to HOST memory first (numpy leaves), quantize there, and
+    device_put the int8 result — or materialise int8 weights directly
+    (scripts/llm7b_study.py --quant int8 pattern)."""
 
     def walk(tree):
         out = {}
