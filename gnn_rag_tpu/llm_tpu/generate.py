@@ -276,6 +276,7 @@ class SpeculativeDecoder:
     def __init__(self, target: LlamaLM, target_params, draft: LlamaLM,
                  draft_params, max_len: int = 512, gamma: int = 4):
         assert target.cfg.vocab_size == draft.cfg.vocab_size
+        assert gamma >= 1, "speculation needs at least one draft token"
         self.target = target
         self.tp = target_params
         self.draft = draft

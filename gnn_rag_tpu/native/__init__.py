@@ -258,7 +258,14 @@ def _intern_native(strs: List[str], strip: bool = False):
     if n_uniq < 0:
         raise ValueError("gp_intern failed")  # -1 cap, -2 embedded NUL
     if strip:
-        return [strs[i].strip() for i in out_first[:n_uniq]], out_ids
+        # gp_intern strips ASCII whitespace only; Python str.strip() also
+        # strips Unicode whitespace. If two ids collapse to one string
+        # after the Python strip (e.g. 'r ' vs 'r\xa0'), the C ids diverge
+        # from the oracle's — fall back to dict interning for correctness.
+        survivors = [strs[i].strip() for i in out_first[:n_uniq]]
+        if len(set(survivors)) != len(survivors):
+            raise ValueError("unicode-whitespace relation variants")
+        return survivors, out_ids
     return [strs[i] for i in out_first[:n_uniq]], out_ids
 
 

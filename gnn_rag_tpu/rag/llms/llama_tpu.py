@@ -169,6 +169,14 @@ class LlamaTPU(BaseLanguageModel):
         self.decoder = Decoder(model, params, max_len=cfg.max_seq_len)
         self.spec = None
         draft_path = getattr(self.args, "draft_path", None)
+        gamma = getattr(self.args, "spec_gamma", 4)
+        gamma = 4 if gamma is None else int(gamma)
+        if draft_path and gamma < 1:
+            import logging
+            logging.getLogger(__name__).warning(
+                "spec_gamma=%d < 1: speculative decoding disabled, "
+                "falling back to plain greedy", gamma)
+            draft_path = None
         if draft_path:
             from ...llm_tpu.generate import SpeculativeDecoder
             with open(os.path.join(draft_path, "config.json")) as f:
@@ -180,7 +188,10 @@ class LlamaTPU(BaseLanguageModel):
                                   ddummy)
             self.spec = SpeculativeDecoder(
                 model, params, dmodel, dparams, max_len=cfg.max_seq_len,
-                gamma=int(getattr(self.args, "spec_gamma", 4) or 4))
+                gamma=gamma)
+            # speculation needs gamma+1 extra cache slots beyond max_new
+            self.maximun_token = (cfg.max_seq_len - self.max_new
+                                  - (gamma + 1) - 8)
 
     def tokenize(self, text: str) -> int:
         return len(self.tok.encode(text))

@@ -203,9 +203,12 @@ class QAService:
                   "cand": [c for c, _ in r["cand"][:self.top_k_cand]],
                   "choices": q.get("choices", [])}
             prompts.append(self.builder.process_input(ex))
-        if hasattr(self.reader, "generate_batch"):
+        if len(prompts) > 1 and hasattr(self.reader, "generate_batch"):
             outs = self.reader.generate_batch(prompts)
         else:
+            # single prompt goes through generate_sentence so backends with
+            # a low-latency path (llama_tpu --draft_path speculative
+            # decoding, bs=1 by design) actually use it
             outs = [self.reader.generate_sentence(p) for p in prompts]
         return [{"prediction": o, "cand": r["cand"], "prompt": p}
                 for o, r, p in zip(outs, retrieved, prompts)]

@@ -262,6 +262,12 @@ def main():
             keep_parallel=kp)
         res[args.reader_key]["reader_path"] = args.reader_path
         res[args.reader_key]["keep_parallel"] = kp
+        # provenance stamp: merged artifacts can carry reader stages from
+        # OLDER runs; the ckpt + time identify what each was computed against
+        import datetime
+        res[args.reader_key]["computed_against_ckpt"] = ckpt
+        res[args.reader_key]["computed_at"] = (
+            datetime.datetime.now().isoformat(timespec="seconds"))
 
     with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)

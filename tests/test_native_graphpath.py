@@ -111,3 +111,21 @@ def test_native_intern_embedded_nul_falls_back():
     py = graph_utils.get_truth_paths(["a\0b"], ["d"], g)
     assert ([text_utils.path_to_string(p) for p in out]
             == [text_utils.path_to_string(p) for p in py])
+
+
+def test_native_unicode_whitespace_rel_variants_fall_back():
+    """'r ' and 'r\\xa0' python-strip to the same relation; ASCII-only
+    C++ stripping would keep them distinct, so the wrapper must detect the
+    post-strip collision and fall back to oracle semantics."""
+    triples = [("a", "r ", "b"), ("a", "r\xa0", "b"), ("b", "s", "c")]
+    for kp in (False, True):
+        got = native.truth_paths_native(triples, ["a"], ["b", "c"],
+                                        keep_parallel=kp)
+        g = graph_utils.build_graph(triples, keep_parallel=kp)
+        want = graph_utils.get_truth_paths(["a"], ["b", "c"], g)
+        assert ([text_utils.path_to_string(p) for p in got]
+                == [text_utils.path_to_string(p) for p in want]), kp
+    # keep_parallel must NOT verbalize the merged variants as 'r | r'
+    got_kp = native.truth_paths_native(triples, ["a"], ["b"],
+                                       keep_parallel=True)
+    assert all("r | r" not in text_utils.path_to_string(p) for p in got_kp)
