@@ -129,3 +129,19 @@ def test_native_unicode_whitespace_rel_variants_fall_back():
     got_kp = native.truth_paths_native(triples, ["a"], ["b"],
                                        keep_parallel=True)
     assert all("r | r" not in text_utils.path_to_string(p) for p in got_kp)
+
+
+def test_native_intern_edge_strings():
+    """Empty strings, whitespace-only relations, very long names, and heavy
+    duplication all keep parity with the oracle."""
+    long_name = "x" * 5000
+    triples = [("", "r", "b"), ("b", "  ", ""), ("b", "r", long_name),
+               (long_name, "r", "b")] * 3 + [("", "r", "b")] * 5
+    for kp in (False, True):
+        got = native.truth_paths_native(triples, ["", long_name],
+                                        ["b", "", "zzz"], keep_parallel=kp)
+        g = graph_utils.build_graph(triples, keep_parallel=kp)
+        want = graph_utils.get_truth_paths(["", long_name], ["b", "", "zzz"],
+                                           g)
+        assert ([text_utils.path_to_string(p) for p in got]
+                == [text_utils.path_to_string(p) for p in want]), kp
