@@ -149,32 +149,46 @@ def bench_shape(shape_name, b, e, f, num_iter, num_ins, num_gnn,
 
 
 def bench_decode():
-    """Batched greedy decode tokens/s (jitted device-side loop)."""
+    """Greedy decode tokens/s (jitted device-side loop): bf16 at B8/B1 and
+    the weight-only int8 serving path at B1 (where the weight-stream GEMV
+    dominates and int8 halves the bytes)."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
 
     from gnn_rag_tpu.llm_tpu.generate import Decoder
     from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
+    from gnn_rag_tpu.llm_tpu.quant import quantize_params
 
     cfg = LlamaConfig(vocab_size=32000, dim=2048, n_layers=4, n_heads=16,
                       n_kv_heads=16, intermediate=5504, max_seq_len=1024,
                       dtype="bfloat16")
-    import jax.numpy as jnp
     model = LlamaLM(cfg)
     toks = np.arange(1, 129).tolist()
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((8, 128), jnp.int32))
-    dec = Decoder(model, params, max_len=512)
-    prompts = [toks[: 64 + (i % 16)] for i in range(8)]
+    model_q = LlamaLM(dataclasses.replace(cfg, quant="int8"))
+    params_q = jax.tree_util.tree_map(jnp.asarray, quantize_params(params))
+
+    out = {}
     new = 128
-    dec.greedy_batch(prompts, max_new_tokens=new)   # compile
-    t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
-        dec.greedy_batch(prompts, max_new_tokens=new)
-    dt = time.perf_counter() - t0
-    tps = len(prompts) * new * n / dt
-    log(f"decode: {tps:.0f} tokens/s (B8, 2048d x 4L bf16, greedy)")
-    return round(tps, 1)
+    for label, m, p, bsz in (("bf16_b8", model, params, 8),
+                             ("bf16_b1", model, params, 1),
+                             ("int8_b1", model_q, params_q, 1),
+                             ("int8_b8", model_q, params_q, 8)):
+        dec = Decoder(m, p, max_len=512)
+        prompts = [toks[: 64 + (i % 16)] for i in range(bsz)]
+        dec.greedy_batch(prompts, max_new_tokens=new)   # compile
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dec.greedy_batch(prompts, max_new_tokens=new)
+            best = max(best, bsz * new / (time.perf_counter() - t0))
+        out[label] = round(best, 1)
+        log(f"decode {label}: {out[label]:.0f} tokens/s "
+            f"(2048d x 4L, greedy)")
+    return out
 
 
 def bench_paths():
@@ -204,10 +218,16 @@ def bench_paths():
     try:
         from gnn_rag_tpu.native import available, truth_paths_native
         if available():
-            t0 = time.perf_counter()
-            for q in questions:
-                truth_paths_native(q["graph"], q["q_entity"], q["cand"])
-            res["cpp_q_per_s"] = round(B_q / (time.perf_counter() - t0), 2)
+            for label, kp in (("cpp_q_per_s", False),
+                              ("cpp_keep_parallel_q_per_s", True)):
+                best = 0.0
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for q in questions:
+                        truth_paths_native(q["graph"], q["q_entity"],
+                                           q["cand"], keep_parallel=kp)
+                    best = max(best, B_q / (time.perf_counter() - t0))
+                res[label] = round(best, 2)
     except Exception as exc:  # keep the bench alive without the .so
         log("cpp path backend unavailable:", exc)
 
@@ -311,7 +331,9 @@ def main():
     extra["cwq_B8_E4096_F16384"] = bench_shape("cwq", 8, 4096, 16384,
                                                2, 3, 3, train=True)
     try:
-        extra["greedy_decode_tokens_per_s"] = bench_decode()
+        dec_rows = bench_decode()
+        extra["greedy_decode_tokens_per_s"] = dec_rows.get("bf16_b8")
+        extra["greedy_decode_variants"] = dec_rows
     except Exception as exc:
         log("decode bench failed:", exc)
     try:
