@@ -75,3 +75,24 @@ def test_int8_kv_cache_decode():
     match = np.mean([a == b for s, sq in zip(out, out_q)
                      for a, b in zip(s, sq)])
     assert match >= 0.5, (out, out_q)
+
+
+def test_int8_target_speculative_composes():
+    """int8 target + full-precision draft: speculative output must equal
+    the int8 target's own greedy decode (the two serving levers compose)."""
+    from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
+
+    model, model_q, params, tokens = _models(vocab=128)
+    qparams = quantize_params(params)
+    draft_cfg = dataclasses.replace(model.cfg, n_layers=1)
+    from gnn_rag_tpu.llm_tpu.model import LlamaLM
+    draft = LlamaLM(draft_cfg)
+    dparams = draft.init(jax.random.PRNGKey(7),
+                         jnp.asarray(np.zeros((1, 8), np.int32)))
+    dec_q = Decoder(model_q, qparams, max_len=96)
+    spec = SpeculativeDecoder(model_q, qparams, draft, dparams,
+                              max_len=96, gamma=3)
+    prompt = [5, 2, 8, 1]
+    want = dec_q.greedy(prompt, max_new_tokens=16)
+    got = spec.greedy(prompt, max_new_tokens=16)
+    assert got == want
