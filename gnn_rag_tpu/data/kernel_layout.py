@@ -131,7 +131,11 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
     n_tiles = E // tile_e
 
     def pack(samples):
+        # rounded to a multiple of 8 chunks so the kernel's k_per_cell grid
+        # grouping (ops.pallas_mp._pick_k) divides it (loader batches get
+        # the same rounding via nc_bucket)
         nc = max(len(s[4]) for s in samples)
+        nc = -(-nc // 8) * 8
         Fp = nc * tile_f
         sc = np.full((B, Fp), -1, np.int32)
         ga = np.zeros((B, Fp), np.int32)
