@@ -22,7 +22,6 @@ Usage:
 
 from __future__ import annotations
 
-import math
 from typing import Sequence, Tuple, Union
 
 import jax

@@ -110,7 +110,7 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
     g->row_ptr[u + 1] = g->row_ptr[u]
         + (static_cast<int64_t>(g->col.size()) - row_start);
   }
-  if (keep_parallel && !extra.empty()) {
+  if (keep_parallel) {
     int32_t max_rel = -1;
     for (int32_t r : g->rel) max_rel = std::max(max_rel, r);
     g->n_base_rels = max_rel + 1;
@@ -124,10 +124,6 @@ void* gp_build(const int32_t* heads, const int32_t* rels, const int32_t* tails,
       }
       g->rel[s] = it->second;
     }
-  } else if (keep_parallel) {
-    int32_t max_rel = -1;
-    for (int32_t r : g->rel) max_rel = std::max(max_rel, r);
-    g->n_base_rels = max_rel + 1;
   }
   return g;
 }

@@ -199,12 +199,9 @@ class LlamaTPU(BaseLanguageModel):
     def generate_sentence(self, llm_input: str) -> str:
         # Decoder.greedy returns the NEW tokens only (generate.py contract)
         ids = self.tok.encode(llm_input)[-self.maximun_token:]
-        if self.spec is not None:
-            out = self.spec.greedy(ids, max_new_tokens=self.max_new,
-                                   eos_id=self.tok.eos_id)
-        else:
-            out = self.decoder.greedy(ids, max_new_tokens=self.max_new,
-                                      eos_id=self.tok.eos_id)
+        dec = self.spec if self.spec is not None else self.decoder
+        out = dec.greedy(ids, max_new_tokens=self.max_new,
+                         eos_id=self.tok.eos_id)
         return self.tok.decode(out).strip()
 
     def generate_batch(self, llm_inputs: List[str]) -> List[str]:

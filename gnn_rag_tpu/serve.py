@@ -51,18 +51,16 @@ class RetrieverService:
         # candidates at once) is the benchmarked production winner
         # (BENCH path_extraction); 'device' keeps the batched TPU BFS,
         # 'python' the networkx-free oracle
+        from .native import available as native_available
         if path_backend == "auto":
-            from .native import available as native_available
             path_backend = "native" if native_available() else "device"
-        self.path_backend = path_backend
         # multi-relation path verbalization (native composite-rel ids or
         # the python oracle; the device BFS keeps collapse semantics — see
         # rag.graph_utils.UndirectedGraph.keep_parallel)
         self.keep_parallel = keep_parallel
         if keep_parallel and path_backend == "device":
-            from .native import available as native_available
-            self.path_backend = path_backend = (
-                "native" if native_available() else "python")
+            path_backend = "native" if native_available() else "python"
+        self.path_backend = path_backend
         self.max_hops = max_hops
         self.extractor = (BatchedPathExtractor(max_hops=max_hops)
                           if path_backend == "device" else None)
