@@ -238,7 +238,13 @@ def _serve_http(host: str, port: int, routes):
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as exc:
+                self.send_error(400, explain=str(exc))
+                return
             payload = json.dumps(handler(body)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

@@ -1,6 +1,7 @@
 """RetrieverService: question in -> candidates + verbalized paths out."""
 
 import json
+import urllib.error
 import urllib.request
 
 import jax
@@ -171,5 +172,28 @@ def test_qa_service_end_to_end(service):
         with urllib.request.urlopen(req2, timeout=60) as r:
             resp2 = json.loads(r.read())
         assert "cand" in resp2["results"][0]
+    finally:
+        httpd.shutdown()
+
+
+def test_http_malformed_body_returns_400(service):
+    httpd = service.serve_http(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/retrieve",
+            data=b"{not json", headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        req2 = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/retrieve",
+            data=b"[1,2,3]", headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req2, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
