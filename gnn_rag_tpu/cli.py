@@ -168,8 +168,14 @@ def args_to_config(args: argparse.Namespace) -> Config:
     return Config(data=data, model=model, train=train)
 
 
-def run(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+def assemble(argv=None, args=None) -> dict:
+    """Parse flags, load data, encode relation/question texts, and build a
+    Trainer (checkpoint restored when --load_experiment is set). Shared by
+    the train/eval CLI (`run`) and the serving entrypoint
+    (scripts/serve_qa.py). Returns {trainer, bundle, cfg, args, lm,
+    rel_hidden, rel_hidden_inv, rel_mask}."""
+    if args is None:
+        args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
 
     np.random.seed(cfg.train.seed)
@@ -186,6 +192,7 @@ def run(argv=None) -> None:
     vocab = bundle["vocab"]
 
     rel_hidden = rel_hidden_inv = rel_mask = None
+    lm = None
     lm_source = None
     if cfg.data.relation_word_emb and bundle["rel_tokens"] is not None:
         lm = maybe_frozen_lm(cfg.model.lm, cfg.model.word_dim_effective,
@@ -297,6 +304,14 @@ def run(argv=None) -> None:
     if cfg.train.load_experiment:
         trainer.load_ckpt(os.path.join(cfg.train.checkpoint_dir,
                                        cfg.train.load_experiment))
+    return {"trainer": trainer, "bundle": bundle, "cfg": cfg, "args": args,
+            "lm": lm, "rel_hidden": rel_hidden,
+            "rel_hidden_inv": rel_hidden_inv, "rel_mask": rel_mask}
+
+
+def run(argv=None) -> None:
+    ctx = assemble(argv)
+    trainer, cfg, args = ctx["trainer"], ctx["cfg"], ctx["args"]
     if cfg.train.is_eval:
         trainer.evaluate_single(
             write_attention=getattr(args, "info_attention", False))
