@@ -100,6 +100,13 @@ def main():
                     help="multi-relation path verbalization ('r1 | r2') in "
                          "both training and the saved serving config — "
                          "removes the parallel-edge-collapse noise floor")
+    ap.add_argument("--vocab_from", default=None,
+                    help="reuse an existing vocab.json (e.g. a smaller "
+                         "reader's) instead of fitting one — required when "
+                         "this reader will serve as the target of "
+                         "scripts/spec_decode_demo.py, whose draft/target "
+                         "must share a vocabulary. OOV words fall back to "
+                         "byte tokens, so coverage gaps only cost length.")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
@@ -150,7 +157,10 @@ def main():
     log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; fitting vocab...")
 
     vocab_path = os.path.join(args.out, "vocab.json")
-    if args.resume and os.path.exists(vocab_path):
+    if args.vocab_from and not args.resume:
+        tok = WordTokenizer.load(args.vocab_from)
+        log(f"vocab_from {args.vocab_from}: {tok.vocab_size} tokens")
+    elif args.resume and os.path.exists(vocab_path):
         # checkpoint embeddings are indexed by the SAVED vocabulary; the
         # rebuilt texts reuse the same generator seeds so all entity names
         # are covered — only the truncation shuffles differ (fresh prompt
