@@ -1250,9 +1250,11 @@ def _fused_bwd_kernel_v4s(ct_ref, scatter_ref, prior_ref, vals_ref, ins_ref,
 def _pick_k(num_chunks: int) -> int:
     """Chunks per grid cell: the largest divisor of NC up to the cap
     (env GNN_RAG_V4_K). Fewer, fatter grid iterations amortise the
-    per-iteration fixed cost that dominates this op at D=50. Default 1
-    until the K>1 Mosaic path is timed on hardware (see BUILD_NOTES)."""
-    cap = int(os.environ.get("GNN_RAG_V4_K", "1"))
+    per-iteration fixed cost that dominates this op at D=50. Default 8:
+    the on-chip sweep (docs/kernel_k_sweep_r04.json) measured K=8 fastest
+    at both WebQSP-B16 (op fwd+bwd 4.44->3.67 ms, train step -8%) and
+    CWQ-B8 (5.87->4.19 ms, train -6%) shapes."""
+    cap = int(os.environ.get("GNN_RAG_V4_K", "8"))
     k = 1
     for cand in (2, 4, 8, 16):
         if cand <= cap and num_chunks % cand == 0:

@@ -47,13 +47,14 @@ class RetrieverService:
         self.rel_args = (rel_hidden, rel_hidden_inv, rel_text_mask)
         self.question_encoder = question_encoder  # tokens -> hidden states
         self.tokenizer = tokenizer
-        # path backend: the C++ enumerator (one BFS per source, all
-        # candidates at once) is the benchmarked production winner
-        # (BENCH path_extraction); 'device' keeps the batched TPU BFS,
-        # 'python' the networkx-free oracle
+        # path backend: 'auto' picks by measured speed (BENCH
+        # path_extraction): the C++ enumerator (371 q/s) first, then the
+        # pure-Python oracle (99 q/s). The batched TPU BFS ('device',
+        # 11.9 q/s) is experimental and never auto-selected — request it
+        # explicitly.
         from .native import available as native_available
         if path_backend == "auto":
-            path_backend = "native" if native_available() else "device"
+            path_backend = "native" if native_available() else "python"
         # multi-relation path verbalization (native composite-rel ids or
         # the python oracle; the device BFS keeps collapse semantics — see
         # rag.graph_utils.UndirectedGraph.keep_parallel)

@@ -73,6 +73,27 @@ PRESETS = {
                 "compositional-heavy 2-4 hop mix, subgraphs up to E6000)",
         hyper="ReaRev CWQ published: entity_dim 50, num_iter 2, num_ins 3, "
               "num_gnn 3, lm sbert, batch 8 (gnn/scripts/rearev_cwq.sh)"),
+    "synthqsp_r04": dict(
+        data="data/synthqsp", ckpt_dir="checkpoints/synthqsp_r04",
+        exp="synthqsp_r04", out="docs/training_r04.json",
+        n_train=1500, train_log="/tmp/train_r04.log",
+        model_args=["--num_iter", "3", "--num_ins", "2"],
+        dataset="SynthQSP (reference-scale proxy: 1500/150/350 questions, "
+                "lognormal subgraphs ~E1900/F~10k incl. self-loops+"
+                "inverse=off, 1-4 hop mix)",
+        hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19); r04 "
+              "kernels (k_per_cell sweep default) + async epoch loop"),
+    "synthcwq_r04": dict(
+        data="data/synthcwq", ckpt_dir="checkpoints/synthcwq_r04",
+        exp="synthcwq_r04", out="docs/training_cwq_r04.json",
+        n_train=2000, train_log="/tmp/train_cwq_r04.log",
+        model_args=["--num_iter", "2", "--num_ins", "3"],
+        dataset="SynthCWQ (CWQ-flavoured proxy: 2000/200/500 questions, "
+                "compositional-heavy 2-4 hop mix, subgraphs up to E6000)",
+        hyper="ReaRev CWQ published: entity_dim 50, num_iter 2, num_ins 3, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/scripts/rearev_cwq.sh); "
+              "r04 stack (async loop + swept kernels + trained reader)"),
 }
 DATA = ""
 CKPT_DIR = ""

@@ -104,6 +104,14 @@ def bench_k(K: int, shapes):
     cfg = ModelConfig(entity_dim=D, num_iter=3, num_ins=2, num_gnn=3,
                       lm="sbert", linear_dropout=0.2)
     model = ReaRev(cfg=cfg, num_entity=100_000, num_relation=2048)
+    # device-resident inputs: without this the model-level rows time the
+    # per-call host->device transfer of the batch + rel tables (~40MB) on
+    # top of the step (the r04 sweep's model_fwd_ms columns carried it;
+    # op-level and train columns order K identically either way)
+    batch = jax.device_put(batch)
+    rel_h = jax.device_put(jnp.asarray(rel_h))
+    rel_hinv = jax.device_put(jnp.asarray(rel_hinv))
+    rel_mask = jax.device_put(jnp.asarray(rel_mask))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
                                  rel_h, rel_hinv, rel_mask)
     mfwd = jax.jit(lambda p, bt: model.apply(p, bt, rel_h, rel_hinv,
@@ -140,19 +148,33 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ks", default="1,2,4,8")
     ap.add_argument("--shapes", default="8,2048,8192,50,2",
-                    help="B,E,F,D,J")
+                    help="B,E,F,D,J; semicolon-separated for multiple sets")
+    ap.add_argument("--out", default="kernel_k_sweep_r04.json",
+                    help="artifact filename under docs/")
     ap.add_argument("--flip-default", action="store_true")
     args = ap.parse_args()
-    shapes = tuple(int(x) for x in args.shapes.split(","))
-    rows = [bench_k(int(k), shapes) for k in args.ks.split(",")]
-    best = min(rows, key=lambda r: r["train_ms"])
-    out = {"shapes": {"B": shapes[0], "E": shapes[1], "F": shapes[2],
-                      "D": shapes[3], "J": shapes[4]},
-           "rows": rows, "winner_K": best["K"]}
-    path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "kernel_k_sweep_r03.json")
+    shape_sets = [tuple(int(x) for x in s.split(","))
+                  for s in args.shapes.split(";")]
+    sweeps = []
+    for shapes in shape_sets:
+        rows = [bench_k(int(k), shapes) for k in args.ks.split(",")]
+        sweeps.append({"shapes": {"B": shapes[0], "E": shapes[1],
+                                  "F": shapes[2], "D": shapes[3],
+                                  "J": shapes[4]},
+                       "rows": rows,
+                       "winner_K": min(rows,
+                                       key=lambda r: r["train_ms"])["K"]})
+    out = sweeps[0] if len(sweeps) == 1 else {"sweeps": sweeps}
+    # overall winner = best train_ms summed across shape sets, per K
+    ks = [r["K"] for r in sweeps[0]["rows"]]
+    totals = {k: sum(s["rows"][i]["train_ms"] for s in sweeps)
+              for i, k in enumerate(ks)}
+    best = {"K": min(totals, key=totals.get)}
+    out["winner_K"] = best["K"]
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out, indent=1))
     if args.flip_default and best["K"] != 1:
         src_path = os.path.join(os.path.dirname(__file__), "..",

@@ -1,18 +1,31 @@
-"""LLaMA2-7B-config on-chip study -> docs/llm7b_r03.json.
+"""LLaMA2-7B-config on-chip study -> docs/llm7b_r04.json (+ _int8).
 
-VERDICT r2 gap #2: the reference reads with LLaMA2-7B
+VERDICT r2 gap #2 / r3 demand #2: the reference reads with LLaMA2-7B
 (llm/src/llms/language_models/llama.py:15-36) and finetunes it
-(joint_training/joint_finetuning.py:84-185); this repo's LLM evidence topped
-out at dim-1024/4-layer. No 7B weights exist in this environment (zero
-egress), so this study builds the EXACT 7B architecture (dim 4096 / 32L /
-32H / intermediate 11008, the LlamaConfig defaults) with random bf16
-weights — memory layout, kernels, and throughput are identical to a real
-checkpoint; only the sampled text differs.
+(joint_training/joint_finetuning.py:84-185). No 7B weights exist in this
+environment (zero egress), so this study builds the EXACT 7B architecture
+(dim 4096 / 32L / 32H / intermediate 11008, the LlamaConfig defaults) with
+random bf16 weights — memory layout, kernels, and throughput are identical
+to a real checkpoint; only the sampled text differs.
 
 Measures on the one 16GB v5e chip:
-* bf16 param residency (13.48 GB) + peak HBM,
+* param residency (bf16 12.55 GB / int8 6.3 GB) + peak HBM (or an explicit
+  "unavailable" when the platform's memory_stats API returns nothing —
+  never a silent 0.0, per VERDICT r3 weak #4),
 * prefill latency at 512/1024/2048 context (flash-attention path),
-* greedy decode tokens/s with the kv-cache Decoder,
+* greedy decode tokens/s at bs in {1, 4, 8} with the kv-cache Decoder,
+  reporting effective weight-stream GB/s next to tok/s so the GEMV
+  roofline gap is explicit. NOTE the r03 study warmed up with
+  max_new_tokens=32 but timed max_new_tokens=128 — a different static arg,
+  so the timed run INCLUDED a fresh ~15s XLA compile; the published 7.0
+  tok/s was mostly compilation. This version warms up and times the same
+  compiled program.
+* speculative decoding at 7B: tiny draft + 7B target, exact-greedy parity
+  asserted (output == Decoder.greedy of the target). Random weights give
+  ~zero draft/target argmax agreement (no trained pair exists here), so
+  alongside the measured tok/s the artifact reports the measured per-round
+  costs and the projected tok/s at the acceptance rates the toy TRAINED
+  draft study achieved (docs: spec_decode study, scripts/spec_decode_demo).
 * where 7B SFT needs the mesh: analytic per-device memory over
   llm_tpu/sharding.py dp x tp specs (params + Adam m/v + grads).
 """
@@ -30,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_rag_tpu.llm_tpu.generate import Decoder
+from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
 from gnn_rag_tpu.llm_tpu.model import LlamaConfig, LlamaLM
 
 
@@ -39,110 +52,202 @@ def log(*a):
 
 
 def hbm_gb():
+    """(bytes_in_use_gb, peak_gb) or (None, None) when the platform does
+    not expose memory_stats — recorded as "unavailable", never 0.0."""
     st = jax.local_devices()[0].memory_stats() or {}
-    return round(st.get("bytes_in_use", 0) / 2**30, 2), round(
-        st.get("peak_bytes_in_use", 0) / 2**30, 2)
+    if not st.get("bytes_in_use"):   # missing OR zero: the axon platform
+        return None, None            # reported 0 for every field in r03
+    return (round(st["bytes_in_use"] / 2**30, 2),
+            round(st.get("peak_bytes_in_use", st["bytes_in_use"]) / 2**30, 2))
 
 
-def random_bf16_params(model, cfg):
+def mem(v):
+    return "unavailable" if v is None else v
+
+
+def random_device_params(model, seed=1):
     """Materialise params directly on device: eval_shape gives the pytree,
-    each leaf is filled by a jitted PRNG draw in the LEAF's dtype — the f32
-    tree a plain init would build (26.8 GB) never exists. Under
-    quant='int8' the kernel_q leaves come out as random int8 (values don't
-    matter for a throughput study; bytes and layout do)."""
+    each leaf is filled by a jitted PRNG draw — the f32 tree a plain init
+    would build (25.1 GB at 7B) never exists. Dtype policy mirrors what a
+    real bf16 checkpoint restore produces: weights bf16, quant kernel_q
+    int8, any 'scale' leaf (RMSNorm / quant scales, both tiny) f32."""
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 8), jnp.int32))
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
-    def leaf(key, shape, dtype):
-        if dtype == jnp.int8:
+    def leaf(key, shape, kind):
+        if kind == "int8":
             return jax.random.randint(key, shape, -127, 128, jnp.int32
                                       ).astype(jnp.int8)
-        if dtype == jnp.float32:
+        if kind == "scale":
             return jnp.abs(jax.random.normal(key, shape, jnp.float32)) * 0.01
-        return (jax.random.normal(key, shape, jnp.bfloat16) * 0.02)
+        return jax.random.normal(key, shape, jnp.bfloat16) * 0.02
 
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
-    out = [leaf(k, tuple(s.shape), s.dtype) for k, s in zip(keys, leaves)]
-    n_params = sum(int(np.prod(s.shape)) for s in leaves)
-    n_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize for s in leaves)
-    return jax.tree_util.tree_unflatten(treedef, out), n_params, n_bytes
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(flat))
+    out, n_params, n_bytes = [], 0, 0
+    for k, (path, s) in zip(keys, flat):
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        kind = ("int8" if s.dtype == jnp.int8
+                else "scale" if last == "scale" else "bf16")
+        arr = leaf(k, tuple(s.shape), kind)
+        out.append(arr)
+        n_params += int(np.prod(s.shape))
+        n_bytes += int(np.prod(s.shape)) * arr.dtype.itemsize
+    params = jax.tree_util.tree_unflatten(treedef, out)
+    return params, n_params, n_bytes
+
+
+def time_decode(dec, bsz, prompt_len, n_new, n_bytes, reps=3):
+    """Compile once (same static args as the timed call), then time."""
+    prompts = [list(range(1, prompt_len + 1))] * bsz
+    t0 = time.time()
+    dec.greedy_batch(prompts, max_new_tokens=n_new)
+    compile_plus_run_s = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        dec.greedy_batch(prompts, max_new_tokens=n_new)
+        best = min(best, time.time() - t0)
+    in_use, peak = hbm_gb()
+    return {
+        "batch": bsz, "prompt_len": prompt_len, "new_tokens": n_new,
+        "tokens_per_s": round(bsz * n_new / best, 1),
+        "tokens_per_s_per_seq": round(n_new / best, 1),
+        "ms_per_token": round(1e3 * best / n_new, 2),
+        "weight_stream_gb_per_s": round(n_bytes * n_new / best / 1e9, 1),
+        "first_call_s": round(compile_plus_run_s, 1),
+        "hbm_peak_gb": mem(peak),
+    }
 
 
 def main():
     import argparse
-    import dataclasses
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="none", choices=["none", "int8"],
                     help="int8: weight-only per-channel serving path "
-                         "(llm_tpu.quant) -> docs/llm7b_int8_r03.json")
+                         "(llm_tpu.quant) -> docs/llm7b_int8_r04.json")
+    ap.add_argument("--skip-prefill", action="store_true")
+    ap.add_argument("--skip-spec", action="store_true")
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test the harness at toy dims on CPU; "
+                         "writes /tmp/llm7b_tiny.json instead of docs/")
     cli = ap.parse_args()
 
-    result = {"config": {"dim": 4096, "n_layers": 32, "n_heads": 32,
-                         "intermediate": 11008, "vocab": 32000,
+    if cli.tiny:
+        cfg = LlamaConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                          n_kv_heads=4, intermediate=128, max_seq_len=2048,
+                          dtype="bfloat16", use_flash=False, quant=cli.quant)
+    else:
+        cfg = LlamaConfig(max_seq_len=2048, dtype="bfloat16", use_flash=True,
+                          quant=cli.quant)
+    result = {"config": {"dim": cfg.dim, "n_layers": cfg.n_layers,
+                         "n_heads": cfg.n_heads,
+                         "intermediate": cfg.intermediate,
+                         "vocab": cfg.vocab_size,
                          "dtype": "bfloat16", "quant": cli.quant}}
-    cfg = LlamaConfig(max_seq_len=2048, dtype="bfloat16", use_flash=True,
-                      quant=cli.quant)
     model = LlamaLM(cfg)
     t0 = time.time()
-    params, n_params, n_bytes = random_bf16_params(model, cfg)
+    params, n_params, n_bytes = random_device_params(model)
     jax.block_until_ready(params)
     result["n_params"] = n_params
     result["param_gb"] = round(n_bytes / 2**30, 2)
     in_use, peak = hbm_gb()
-    result["hbm_after_params_gb"] = in_use
-    log(f"params ready: {n_params/1e9:.2f}B, {in_use} GB in use, "
-        f"{time.time()-t0:.0f}s")
+    result["hbm_after_params_gb"] = mem(in_use)
+    log(f"params ready: {n_params/1e9:.2f}B, {result['param_gb']} GB, "
+        f"hbm={mem(in_use)}, {time.time()-t0:.0f}s")
 
     # ---- prefill latency (forward over the full prompt, kv cache filled)
-    fwd = jax.jit(lambda p, t: model.apply(p, t)[0])
-    prefill = {}
-    for L in (512, 1024, 2048):
-        toks = jnp.ones((1, L), jnp.int32)
-        t0 = time.time()
-        fwd(params, toks).block_until_ready()
-        compile_s = time.time() - t0
-        times = []
-        for _ in range(3):
+    if not cli.skip_prefill:
+        fwd = jax.jit(lambda p, t: model.apply(p, t)[0])
+        prefill = {}
+        for L in (512, 1024, 2048):
+            toks = jnp.ones((1, L), jnp.int32)
             t0 = time.time()
             fwd(params, toks).block_until_ready()
-            times.append(time.time() - t0)
-        prefill[str(L)] = {"ms": round(1e3 * min(times), 1),
-                           "compile_s": round(compile_s, 1),
-                           "prefill_tokens_per_s": round(L / min(times))}
-        log(f"prefill {L}: {prefill[str(L)]}")
-    result["prefill"] = prefill
-    result["hbm_peak_after_prefill_gb"] = hbm_gb()[1]
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                fwd(params, toks).block_until_ready()
+                times.append(time.time() - t0)
+            prefill[str(L)] = {"ms": round(1e3 * min(times), 1),
+                               "compile_s": round(compile_s, 1),
+                               "prefill_tokens_per_s": round(L / min(times))}
+            log(f"prefill {L}: {prefill[str(L)]}")
+        result["prefill"] = prefill
+        result["hbm_peak_after_prefill_gb"] = mem(hbm_gb()[1])
 
     # ---- greedy decode tokens/s (kv-cache while_loop decoder). bs=1 is
-    # HBM-bound (every token re-reads all 12.6GB of weights: the GEMV
-    # regime); bs=8 amortises the weight stream across rows and is the
-    # serving-relevant aggregate number.
-    dec = Decoder(model, params, max_len=1024)
-    prompt = list(range(1, 129))
-    n_new = 128
+    # HBM-bound (every token re-reads all weights: the GEMV regime); the
+    # batch dim amortises the weight stream across rows.
+    # max_len 384 bounds the bs=8 kv cache to 1.6GB so bf16 params (12.55)
+    # + cache + activations stay inside the 16GB chip
+    dec = Decoder(model, params, max_len=384)
     result["greedy_decode_by_batch"] = {}
-    for bsz in (1, 8):
-        prompts = [prompt] * bsz
-        t0 = time.time()
-        dec.greedy_batch(prompts, max_new_tokens=32)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        dec.greedy_batch(prompts, max_new_tokens=n_new)
-        dt = time.time() - t0
-        row = {
-            "batch": bsz, "prompt_len": 128, "new_tokens": n_new,
-            "tokens_per_s": round(bsz * n_new / dt, 1),
-            "ms_per_token_per_seq": round(1e3 * dt / n_new, 1),
-            "compile_s": round(compile_s, 1),
-            "hbm_peak_gb": hbm_gb()[1],
-        }
+    for bsz in (1, 4, 8):
+        row = time_decode(dec, bsz, 128, cli.max_new, n_bytes)
         result["greedy_decode_by_batch"][str(bsz)] = row
         log(f"decode bs={bsz}: {row}")
     result["greedy_decode"] = result["greedy_decode_by_batch"]["1"]
+
+    # ---- speculative decoding at 7B: tiny draft, exact target parity.
+    # Random weights -> ~zero acceptance (documented); the artifact also
+    # projects tok/s at trained-draft acceptance rates from the measured
+    # per-round component times.
+    if not cli.skip_spec:
+        dcfg = LlamaConfig(vocab_size=cfg.vocab_size,
+                           dim=min(512, cfg.dim), n_layers=4,
+                           n_heads=8 if cfg.dim >= 512 else cfg.n_heads,
+                           n_kv_heads=8 if cfg.dim >= 512 else cfg.n_kv_heads,
+                           intermediate=min(1536, cfg.intermediate),
+                           max_seq_len=2048, dtype="bfloat16",
+                           use_flash=False)
+        draft = LlamaLM(dcfg)
+        dparams, dn, dbytes = random_device_params(draft, seed=7)
+        jax.block_until_ready(dparams)
+        gamma = 4
+        spec = SpeculativeDecoder(model, params, draft, dparams,
+                                  max_len=384, gamma=gamma)
+        prompt = list(range(1, 129))
+        n_new = 64
+        # exactness contract: speculative output == target greedy output
+        ref = dec.greedy(prompt, max_new_tokens=n_new)
+        t0 = time.time()
+        out = spec.greedy(prompt, max_new_tokens=n_new)
+        first_s = time.time() - t0
+        assert out == ref[:len(out)] and len(out) == n_new, (
+            "speculative output diverged from target greedy")
+        t0 = time.time()
+        out = spec.greedy(prompt, max_new_tokens=n_new)
+        dt = time.time() - t0
+        st = spec.last_stats
+        alpha = st["draft_accepted"] / max(
+            1, (st["target_forwards"] - 1) * gamma)
+        rounds = st["target_forwards"] - 1
+        round_s = dt / max(1, rounds)
+        # projected tok/s(a): E[tokens/round] = sum_{i<=gamma} a^i (accepted
+        # prefix + bonus token), round cost measured.
+        proj = {}
+        for a in (0.6, 0.8, 0.9):
+            e_tok = sum(a ** i for i in range(gamma + 1))
+            proj[str(a)] = round(e_tok / round_s, 1)
+        result["speculative"] = {
+            "gamma": gamma, "draft_params_m": round(dn / 1e6, 1),
+            "draft_gb": round(dbytes / 2**30, 2),
+            "exact_greedy_parity": True,
+            "tokens_per_s": round(n_new / dt, 1),
+            "measured_acceptance": round(alpha, 3),
+            "acceptance_note": "random 7B weights; argmax is untrained so "
+                               "draft agreement ~0. Trained-pair acceptance "
+                               "evidence: spec_decode study (toy dims).",
+            "round_ms": round(1e3 * round_s, 1),
+            "projected_tokens_per_s_at_acceptance": proj,
+        }
+        log(f"speculative: {result['speculative']}")
 
     # ---- SFT scale table (analytic; llm_tpu/sharding.py megatron TP +
     # optimizer-state sharding over dp): params bf16, grads bf16,
@@ -166,12 +271,16 @@ def main():
                       "ZeRO-style) on 16GB chips; inference fits on ONE chip",
     }
 
-    out_name = ("llm7b_int8_r03.json" if cli.quant == "int8"
-                else "llm7b_r03.json")
-    out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                            out_name)
+    if cli.tiny:
+        out_path = "/tmp/llm7b_tiny.json"
+    else:
+        out_name = ("llm7b_int8_r04.json" if cli.quant == "int8"
+                    else "llm7b_r04.json")
+        out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                                out_name)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     print(json.dumps(result, indent=1))
 
 

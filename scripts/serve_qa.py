@@ -94,6 +94,9 @@ def main(argv=None, block: bool = True):
         log("RetrieverService ready: /retrieve")
 
     httpd = service.serve_http(host=args.host, port=args.port)
+    # handles for programmatic drivers (scripts/serving_study.py)
+    httpd.service = service
+    httpd.retriever = svc
     log(f"listening on http://{args.host}:{httpd.server_port}")
     if not block:
         return httpd

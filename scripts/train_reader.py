@@ -111,6 +111,9 @@ def main():
     ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--intermediate", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args()
 
     import re
@@ -193,8 +196,10 @@ def main():
     log(f"packed: {tokens.shape}, completion coverage {kept:.3f}")
 
     mcfg = LlamaConfig(vocab_size=tok.vocab_size, dim=args.dim,
-                       n_layers=args.layers, n_heads=6, n_kv_heads=6,
-                       intermediate=1024, max_seq_len=args.max_seq,
+                       n_layers=args.layers, n_heads=args.heads,
+                       n_kv_heads=args.heads,
+                       intermediate=args.intermediate,
+                       max_seq_len=args.max_seq,
                        tie_embeddings=True, dtype="bfloat16")
     # on resume the optimizer state is fresh, so the lr schedule spans the
     # EXTENSION steps (args.steps - already-trained), not the full target —
@@ -213,7 +218,7 @@ def main():
                 shutil.rmtree(os.path.join(args.out, n), ignore_errors=True)
     cfg = SFTConfig(output_dir=args.out, learning_rate=3e-4,
                     warmup_steps=100, total_steps=args.steps - already,
-                    batch_size=8, max_seq_len=args.max_seq,
+                    batch_size=args.batch_size, max_seq_len=args.max_seq,
                     save_every=args.steps, seed=0)
     tr = SFTTrainer(mcfg, cfg)
     t0 = time.time()
@@ -266,8 +271,9 @@ def main():
                    "variants": args.variants,
                    "keep_parallel": args.keep_parallel,
                    "n_texts": len(texts),
-                   "tokens_per_s": round(args.steps * 8 * args.max_seq
-                                         / wall)}, f, indent=1)
+                   "dim": args.dim, "layers": args.layers,
+                   "tokens_per_s": round(args.steps * args.batch_size
+                                         * args.max_seq / wall)}, f, indent=1)
     log(f"saved reader bundle to {args.out}")
 
 

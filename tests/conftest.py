@@ -21,3 +21,24 @@ REFERENCE_DIR = "/root/reference"
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
+
+
+# ---- fast/e2e split: `pytest -q tests/` runs the fast set (<5 min on this
+# 1-core host); `pytest --run-e2e` adds the slow end-to-end tests
+# (multi-epoch training loops, full CLI runs, HF-scale parity).
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--run-e2e", action="store_true", default=False,
+                     help="also run tests marked e2e (full suite)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-e2e"):
+        return
+    skip = pytest.mark.skip(reason="e2e test: enable with --run-e2e")
+    for item in items:
+        if "e2e" in item.keywords:
+            item.add_marker(skip)

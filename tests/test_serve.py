@@ -136,6 +136,27 @@ def test_path_backends_agree(service):
     assert not any(" | " in p for p in out_plain)
 
 
+def test_auto_backend_prefers_fastest_available(service, monkeypatch):
+    """'auto' orders backends by measured speed (BENCH path_extraction:
+    native 371 > python 99 > device 11.9 q/s): native when the .so is
+    present, else the python oracle — NEVER the experimental device BFS."""
+    from gnn_rag_tpu import native as native_mod
+
+    def rebuild(**kw):
+        return RetrieverService(
+            service.cfg, service.vocab, service.params,
+            rel_hidden=service.rel_args[0], rel_hidden_inv=service.rel_args[1],
+            rel_text_mask=service.rel_args[2],
+            question_encoder=service.question_encoder, **kw)
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    assert rebuild(path_backend="auto").path_backend == "python"
+    monkeypatch.setattr(native_mod, "available", lambda: True)
+    assert rebuild(path_backend="auto").path_backend == "native"
+    # explicit request still honoured
+    assert rebuild(path_backend="device").path_backend == "device"
+
+
 def test_qa_service_end_to_end(service):
     """QAService: question+subgraph in -> read answer out, one process.
     With the mock reader (echoes path tails), the prediction must contain
