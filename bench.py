@@ -383,10 +383,10 @@ def main():
     try:
         import os
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "llm7b_r03.json")) as f:
+                               "docs", "llm7b_r04.json")) as f:
             s = json.load(f)
         extra["llama7b_config"] = {
-            "source": "docs/llm7b_r03.json",
+            "source": "docs/llm7b_r04.json",
             "param_gb": s["param_gb"],
             "prefill_2048_ms": s["prefill"]["2048"]["ms"],
             "prefill_2048_tokens_per_s":

@@ -25,15 +25,15 @@ def load_hf_llama(model_path: str) -> Tuple[dict, LlamaConfig]:
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     def lin(name, heads=None):
-        w = hf[name].T  # [in, out]
-        if heads is not None:
-            return w.reshape(w.shape[0], heads, D)
-        return w
+        # TDense stores kernels in the HF orientation [out, in] (see
+        # model.py TDense for the TPU layout rationale) — no transpose,
+        # no head reshape: the model splits heads on the activation
+        return hf[name]
 
     p = {
         "tok_emb": {"embedding": hf["model.embed_tokens.weight"]},
         "final_norm": {"scale": hf["model.norm.weight"]},
-        "lm_head": {"kernel": hf["lm_head.weight"].T},
+        "lm_head": {"kernel": hf["lm_head.weight"]},
     }
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
@@ -44,8 +44,7 @@ def load_hf_llama(model_path: str) -> Tuple[dict, LlamaConfig]:
                 "q_proj": {"kernel": lin(pre + "self_attn.q_proj.weight", H)},
                 "k_proj": {"kernel": lin(pre + "self_attn.k_proj.weight", KV)},
                 "v_proj": {"kernel": lin(pre + "self_attn.v_proj.weight", KV)},
-                "o_proj": {"kernel": hf[pre + "self_attn.o_proj.weight"].T
-                           .reshape(H, D, cfg.dim)},
+                "o_proj": {"kernel": hf[pre + "self_attn.o_proj.weight"]},
             },
             "mlp": {
                 "gate_proj": {"kernel": lin(pre + "mlp.gate_proj.weight")},

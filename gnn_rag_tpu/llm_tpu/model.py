@@ -108,19 +108,51 @@ def _reference_attention(q, k, v, causal_offset, kv_valid=None):
     return jnp.einsum("bhls,bshd->blhd", probs, v)
 
 
+class TDense(nn.Module):
+    """Linear layer with TRANSPOSED kernel storage: kernel [out, in], the
+    HF orientation. The TPU decode-loop GEMV wants the contraction (in)
+    axis minor in the weight's layout; a [in, out] kernel's default layout
+    {1,0} has `out` minor, so XLA inserts a relayout copy of EVERY weight
+    as an HLO temp inside the decode program — 3.1GB at 7B, which OOMed
+    bs>=4 and speculative decoding next to 12.55GB of resident params.
+    [out, in] storage is already {in-minor}, so no copies are generated
+    (verified via compiled.memory_analysis(): 1030MB -> ~0 temp at
+    n_layers=2/dim=4096). Bonus: HF checkpoints import without transposes
+    (convert_hf.py)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32       # compute dtype (flax convention)
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=1, out_axis=0),
+            (self.features, x.shape[-1]), self.param_dtype)
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        return jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (1,)), ((), ())))
+
+
 def _dense_general(cfg: LlamaConfig):
-    """nn.DenseGeneral, or its int8 weight-only drop-in under quant="int8"
-    (llm_tpu.quant.QuantDenseGeneral; params from quant.quantize_params)."""
+    """TDense (transposed-kernel linear), or the int8 weight-only drop-in
+    under quant="int8" (llm_tpu.quant.QuantDenseGeneral; params from
+    quant.quantize_params)."""
     if cfg.quant == "int8":
         from .quant import QuantDenseGeneral
 
-        def make(features, axis=-1, use_bias=False, name=None,
-                 dtype=jnp.bfloat16):
+        def make(features, use_bias=False, name=None, dtype=jnp.bfloat16):
             assert not use_bias
-            return QuantDenseGeneral(features=features, axis=axis,
-                                     dtype=dtype, name=name)
+            return QuantDenseGeneral(features=features, dtype=dtype,
+                                     name=name)
         return make
-    return nn.DenseGeneral
+
+    def make(features, use_bias=False, name=None, dtype=jnp.bfloat16):
+        assert not use_bias
+        return TDense(features=features, dtype=dtype, name=name)
+    return make
 
 
 class Attention(nn.Module):
@@ -134,9 +166,14 @@ class Attention(nn.Module):
         H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
         dt = getattr(jnp, cfg.dtype)
         dense = _dense_general(cfg)
-        q = dense((H, D), use_bias=False, name="q_proj", dtype=dt)(x)
-        k = dense((KV, D), use_bias=False, name="k_proj", dtype=dt)(x)
-        v = dense((KV, D), use_bias=False, name="v_proj", dtype=dt)(x)
+        # 2-D transposed kernels (TDense [out, in]), head split on the
+        # ACTIVATION — see TDense for the layout/memory rationale.
+        q = dense(H * D, use_bias=False, name="q_proj",
+                  dtype=dt)(x).reshape(B, L, H, D)
+        k = dense(KV * D, use_bias=False, name="k_proj",
+                  dtype=dt)(x).reshape(B, L, KV, D)
+        v = dense(KV * D, use_bias=False, name="v_proj",
+                  dtype=dt)(x).reshape(B, L, KV, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -176,8 +213,8 @@ class Attention(nn.Module):
                 out = flash_attention(q, k_all, v_all)
         else:
             out = _reference_attention(q, k_all, v_all, offset, kv_valid)
-        out = dense(cfg.dim, axis=(-2, -1), use_bias=False,
-                    name="o_proj", dtype=dt)(out)
+        out = dense(cfg.dim, use_bias=False, name="o_proj",
+                    dtype=dt)(out.reshape(B, L, H * D))
         return out, new_cache
 
 

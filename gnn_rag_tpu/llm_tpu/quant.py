@@ -83,11 +83,14 @@ def quantize_kernel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _flatten_kernel(w: jnp.ndarray, module_name: str) -> jnp.ndarray:
-    """DenseGeneral kernels carry in dims first, out dims last. Every LM
-    kernel is 2-D already except q/k/v_proj ([dim, H, Dh]) and o_proj
-    ([H, Dh, dim])."""
+    """Bring a bf16 LM kernel to the [in, out] orientation quantize_kernel
+    expects. TDense (model.py) stores every 2-D kernel TRANSPOSED
+    ([out, in], the HF orientation — avoids XLA relayout copies in the
+    decode program), so 2-D kernels transpose here; 3-D shapes from legacy
+    DenseGeneral trees flatten as before — q/k/v ([dim, H, Dh]) out dims
+    trail, o_proj ([H, Dh, dim]) in dims lead."""
     if w.ndim == 2:
-        return w
+        return w.T
     if module_name == "o_proj":          # in dims (H, Dh) lead
         return w.reshape(-1, w.shape[-1])
     return w.reshape(w.shape[0], -1)     # q/k/v: out dims trail

@@ -45,10 +45,10 @@ def resize_embeddings(params: dict, old_vocab: int, new_vocab: int) -> dict:
     mean = emb.mean(axis=0, keepdims=True)
     extra = np.repeat(mean, new_vocab - old_vocab, axis=0)
     p["tok_emb"]["embedding"] = jnp.asarray(np.concatenate([emb, extra]))
-    head = np.asarray(p["lm_head"]["kernel"])          # [D, V]
-    mean_h = head.mean(axis=1, keepdims=True)
-    extra_h = np.repeat(mean_h, new_vocab - old_vocab, axis=1)
-    p["lm_head"]["kernel"] = jnp.asarray(np.concatenate([head, extra_h], 1))
+    head = np.asarray(p["lm_head"]["kernel"])          # TDense: [V, D]
+    mean_h = head.mean(axis=0, keepdims=True)
+    extra_h = np.repeat(mean_h, new_vocab - old_vocab, axis=0)
+    p["lm_head"]["kernel"] = jnp.asarray(np.concatenate([head, extra_h], 0))
     return params
 
 
@@ -92,9 +92,9 @@ def chunked_completion_loss(model, params, tokens, loss_mask,
     the backward recompute each chunk's logits instead of stashing them."""
     hidden, _ = model.apply(params, tokens[:, :-1], return_hidden=True)
     if getattr(model.cfg, "tie_embeddings", False):
-        w = params["params"]["tok_emb"]["embedding"].T   # [D, V] (tied)
+        w = params["params"]["tok_emb"]["embedding"]     # [V, D] (tied)
     else:
-        w = params["params"]["lm_head"]["kernel"]        # [D, V]
+        w = params["params"]["lm_head"]["kernel"]        # TDense: [V, D]
     targets, mask = tokens[:, 1:], loss_mask[:, 1:]
     B, L, D = hidden.shape
     pad = (-L) % chunk
@@ -109,7 +109,7 @@ def chunked_completion_loss(model, params, tokens, loss_mask,
 
     @jax.checkpoint
     def chunk_nll(h_c, t_c, m_c):
-        logits = jnp.einsum("bcd,dv->bcv", h_c.astype(jnp.float32), w)
+        logits = jnp.einsum("bcd,vd->bcv", h_c.astype(jnp.float32), w)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, t_c[..., None], axis=-1)[..., 0]
         return jnp.sum(nll * m_c)

@@ -20,19 +20,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def param_spec(path: str, x) -> P:
+    """bf16 TDense kernels are stored TRANSPOSED [out, in] (model.py);
+    int8 kernel_q stays [in, out] (quant.py). The megatron axis is the
+    same either way: shard the head/intermediate/vocab dimension."""
     if x.ndim <= 1:
         return P()
+    transposed = "kernel_q" not in path    # TDense vs QuantDenseGeneral
     if "tok_emb" in path or "lm_head" in path:
-        # [V, D] / [D, V]: shard the vocab axis
+        # shard the vocab axis wherever it is
         return P("tp", None) if x.shape[0] > x.shape[1] else P(None, "tp")
     if any(k in path for k in ("q_proj", "k_proj", "v_proj")):
-        return P(None, "tp", None) if x.ndim == 3 else P(None, "tp")
+        if x.ndim == 3:                    # legacy [dim, H, Dh]
+            return P(None, "tp", None)
+        return P("tp", None) if transposed else P(None, "tp")
     if "o_proj" in path:
-        return P("tp", None, None) if x.ndim == 3 else P("tp", None)
+        if x.ndim == 3:                    # legacy [H, Dh, dim]
+            return P("tp", None, None)
+        return P(None, "tp") if transposed else P("tp", None)
     if "gate_proj" in path or "up_proj" in path:
-        return P(None, "tp")
+        return P("tp", None) if transposed else P(None, "tp")
     if "down_proj" in path:
-        return P("tp", None)
+        return P(None, "tp") if transposed else P("tp", None)
     return P()
 
 

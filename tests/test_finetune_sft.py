@@ -114,7 +114,7 @@ def test_resize_embeddings():
     params = jax.tree_util.tree_map(np.asarray, params)
     params = resize_embeddings(params, 32, 36)
     assert params["params"]["tok_emb"]["embedding"].shape[0] == 36
-    assert params["params"]["lm_head"]["kernel"].shape[1] == 36
+    assert params["params"]["lm_head"]["kernel"].shape[0] == 36
 
 
 def test_gen_rule_path_with_stub(tmp_path):
