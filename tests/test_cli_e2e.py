@@ -44,6 +44,7 @@ def write_micro_dataset(root):
                 f.write(json.dumps(q) + "\n")
 
 
+@pytest.mark.e2e
 def test_cli_train_and_eval(tmp_path):
     data_dir = tmp_path / "data"
     data_dir.mkdir()

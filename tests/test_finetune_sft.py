@@ -56,6 +56,7 @@ def test_parse_prediction():
     assert parse_prediction(preds) == [["a.b.c", "d.e.f"], ["x"]]
 
 
+@pytest.mark.e2e
 def test_sft_overfits_and_resumes(tmp_path):
     rng = np.random.default_rng(0)
     V, L, N = 64, 32, 8
@@ -136,6 +137,7 @@ def test_gen_rule_path_with_stub(tmp_path):
     assert ["language_spoken"] in rec["ground_paths"]
 
 
+@pytest.mark.e2e
 def test_chunked_loss_matches_dense():
     """chunked_completion_loss (scan + checkpoint over vocab chunks) must
     equal the dense lm_head loss in value AND gradient — it exists purely to

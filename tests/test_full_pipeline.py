@@ -18,6 +18,7 @@ NUM_REL = 8
 NUM_ENT = 1000
 
 
+@pytest.mark.e2e
 def test_gnn_to_rag_pipeline(tmp_path):
     rng = np.random.default_rng(3)
     ds = random_records(rng, n_questions=12, num_relation=NUM_REL,

@@ -97,6 +97,7 @@ def test_llama_tpu_backend_int8_quant(tmp_path):
     assert any(l.dtype == jnp2.int8 for l in leaves)
 
 
+@pytest.mark.e2e
 def test_llama_tpu_backend_speculative(tmp_path):
     """--draft_path: single-prompt generation goes through speculative
     decoding and matches the plain greedy backend exactly."""

@@ -38,6 +38,7 @@ def test_token_budgets_match_reference():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.e2e
 def test_sft_step_on_mesh(tmp_path):
     from gnn_rag_tpu.llm_tpu.model import LlamaConfig
     from gnn_rag_tpu.llm_tpu.sft import SFTConfig, SFTTrainer

@@ -64,6 +64,7 @@ def test_model_forward_shapes(tiny_lm):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.e2e
 def test_kv_cache_decode_matches_full_forward(tiny_lm):
     cfg, model, params = tiny_lm
     prompt = list(range(1, 9))
@@ -124,6 +125,7 @@ def test_word_tokenizer_roundtrip(tmp_path):
     assert tok2.vocab_size == tok.vocab_size
 
 
+@pytest.mark.e2e
 def test_tied_embeddings_model_and_loss():
     """tie_embeddings drops lm_head, logits come from the f32 embedding
     matmul, and the chunked completion loss matches the dense path."""
@@ -172,6 +174,7 @@ class TestSpeculativeDecoder:
         return model, params
 
     @pytest.mark.parametrize("gamma", [1, 3, 5])
+    @pytest.mark.e2e
     def test_exact_match_independent_draft(self, gamma):
         from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
 
@@ -185,6 +188,7 @@ class TestSpeculativeDecoder:
             got = spec.greedy(prompt, max_new_tokens=24)
             assert got == want, (gamma, prompt[:4], got, want)
 
+    @pytest.mark.e2e
     def test_self_draft_accepts_everything(self):
         """draft == target: every proposal agrees, so each round emits
         gamma+1 tokens with ONE target forward."""
@@ -203,6 +207,7 @@ class TestSpeculativeDecoder:
         assert st["target_forwards"] <= 1 + -(-20 // 5) + 1, st
         assert st["draft_accepted"] >= 16, st
 
+    @pytest.mark.e2e
     def test_eos_stops_early(self):
         from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
 

@@ -6,6 +6,7 @@ the step consumes precomputed hidden states; with 0 the in-model
 TransformerQuestionEncoder is seeded from the same weights and finetuned.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -56,6 +57,7 @@ def _build_trainer(tmp_path, lm_frozen):
     return tr, lm
 
 
+@pytest.mark.e2e
 def test_lm_finetune_trains_the_encoder(tmp_path):
     tr, lm = _build_trainer(tmp_path, lm_frozen=0)
     # the in-model LM exists and is seeded from the frozen weights
@@ -76,6 +78,7 @@ def test_lm_finetune_trains_the_encoder(tmp_path):
     assert changed
 
 
+@pytest.mark.e2e
 def test_lm_frozen_has_no_inmodel_lm(tmp_path):
     tr, _ = _build_trainer(tmp_path, lm_frozen=1)
     assert "lm" not in tr.params["params"]

@@ -34,6 +34,7 @@ def build_trainer(tmp_path, mesh=None, tag="a"):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.e2e
 def test_mesh_training_matches_single_device(tmp_path):
     single = build_trainer(tmp_path, mesh=None, tag="single")
     mesh = make_mesh(dp=4, tp=2)

@@ -14,6 +14,7 @@ NUM_ENT_GLOBAL = 1000
 
 
 @pytest.mark.parametrize("normalized_gnn", [False, True])
+@pytest.mark.e2e
 def test_layout_path_matches_canonical(normalized_gnn):
     rng = np.random.default_rng(5)
     batch = random_graph_batch(rng, batch_size=3, n_entities=128, n_facts=256,
@@ -35,6 +36,7 @@ def test_layout_path_matches_canonical(normalized_gnn):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.e2e
 def test_layout_path_gradients_match():
     rng = np.random.default_rng(6)
     batch = random_graph_batch(rng, batch_size=2, n_entities=128, n_facts=384,
@@ -62,6 +64,7 @@ def test_layout_path_gradients_match():
                                    rtol=2e-4, atol=1e-6, err_msg=key)
 
 
+@pytest.mark.e2e
 def test_fact_drop_layout_matches_canonical():
     """Training with fact_drop > 0 must stay numerically identical between
     the kernel-layout path and the canonical XLA path (same dropout rng =>

@@ -12,6 +12,7 @@ NUM_REL = 9
 WORD_DIM = 32
 
 
+@pytest.mark.e2e
 def test_rearev_learns_two_hop(tmp_path):
     rng = np.random.default_rng(0)
     ds = multihop_records(rng, n_questions=32, num_relation=NUM_REL)

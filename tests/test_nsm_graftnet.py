@@ -69,6 +69,7 @@ def test_graftnet_forward_and_grad(loss_type):
     ("NSM", dict(num_step=2)),
     ("GraftNet", dict(num_layer=2, loss_type="bce", lr_scale=1.0)),
 ])
+@pytest.mark.e2e
 def test_models_learn_synthetic(model_name, extra, tmp_path):
     extra = dict(extra)
     extra.pop("lr_scale", None)

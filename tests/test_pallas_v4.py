@@ -71,6 +71,7 @@ def test_v4_fwd_matches_reference(J, apply_relu):
 
 
 @pytest.mark.parametrize("J,apply_relu", [(2, True), (2, False), (3, True)])
+@pytest.mark.e2e
 def test_v4_bwd_kernel_matches_autodiff(J, apply_relu):
     vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(J)
 
@@ -178,6 +179,7 @@ def test_v4_split_launch_matches_reference(J, monkeypatch):
 
 
 @pytest.mark.parametrize("K", [1, 2, 8])
+@pytest.mark.e2e
 def test_v4_k_per_cell_equivalence(K, monkeypatch):
     """Fwd+bwd results are identical for every chunks-per-grid-cell K
     (fatter grid iterations only amortise per-iteration cost)."""
@@ -214,6 +216,7 @@ def test_v4_k_per_cell_equivalence(K, monkeypatch):
 
 
 @pytest.mark.parametrize("K", [2, 8])
+@pytest.mark.e2e
 def test_v4s_k_per_cell_equivalence(K, monkeypatch):
     """Single-direction (big-E split) launches honour k_per_cell too."""
     monkeypatch.setenv("GNN_RAG_V4_K", str(K))

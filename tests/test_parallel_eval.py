@@ -15,6 +15,7 @@ NUM_ENT = 1000
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.e2e
 def test_sharded_eval_matches_single_device():
     rng = np.random.default_rng(4)
     ds = random_records(rng, n_questions=16, num_relation=NUM_REL,

@@ -1,5 +1,6 @@
 """Weight-only int8 serving path: numerics, decode, and size."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -33,6 +34,7 @@ def test_quantize_kernel_roundtrip():
     assert (err <= np.asarray(scale) / 2 + 1e-6).all()
 
 
+@pytest.mark.e2e
 def test_int8_logits_close_and_smaller():
     model, model_q, params, tokens = _models()
     qparams = quantize_params(params)
@@ -58,6 +60,7 @@ def test_int8_tied_embeddings_variant():
     assert cos > 0.999, cos
 
 
+@pytest.mark.e2e
 def test_int8_kv_cache_decode():
     """The quantized model decodes through the jitted kv-cache Decoder and
     produces the same greedy continuation as full precision on a short run
@@ -77,6 +80,7 @@ def test_int8_kv_cache_decode():
     assert match >= 0.5, (out, out_q)
 
 
+@pytest.mark.e2e
 def test_int8_target_speculative_composes():
     """int8 target + full-precision draft: speculative output must equal
     the int8 target's own greedy decode (the two serving levers compose)."""

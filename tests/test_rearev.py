@@ -44,6 +44,7 @@ def test_forward_shapes_and_normalisation(setup):
     assert np.asarray(pred_dist)[cand == 0].max() < 1e-9
 
 
+@pytest.mark.e2e
 def test_gradients_flow(setup):
     model, params, batch, (rel_h, rel_hinv, rel_mask) = setup
 
@@ -58,6 +59,7 @@ def test_gradients_flow(setup):
     assert total > 0.0
 
 
+@pytest.mark.e2e
 def test_jit_and_batch_invariance(setup):
     """Padding more facts/entities must not change the result."""
     model, params, batch, (rel_h, rel_hinv, rel_mask) = setup

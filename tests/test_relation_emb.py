@@ -39,6 +39,7 @@ def test_load_relation_emb_row_conventions(tmp_path):
 
 
 @pytest.mark.parametrize("model_cls", [ReaRev, NSM])
+@pytest.mark.e2e
 def test_pretrained_relation_table(model_cls):
     rng = np.random.default_rng(3)
     batch = random_graph_batch(rng, batch_size=2, n_entities=32, n_facts=128,

@@ -1,5 +1,6 @@
 """scripts/serve_qa.py: checkpoint -> HTTP QA service in one command."""
 
+import pytest
 import json
 import os
 import sys
@@ -11,6 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 from test_cli_e2e import write_micro_dataset  # noqa: E402
 
 
+@pytest.mark.e2e
 def test_serve_qa_entrypoint(tmp_path):
     data = tmp_path / "d"
     data.mkdir()

@@ -26,6 +26,7 @@ def test_serving_roundtrip():
         server.stop()
 
 
+@pytest.mark.e2e
 def test_lora_no_op_at_init_and_trains():
     import jax
     import jax.numpy as jnp
@@ -61,6 +62,7 @@ def test_lora_no_op_at_init_and_trains():
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
 
 
+@pytest.mark.e2e
 def test_lora_composes_with_tp_mesh():
     """LoRA adapter training on TP/DP-sharded base params (r1 gap: each was
     tested separately). Base weights live sharded on a dp2 x tp4 mesh; the

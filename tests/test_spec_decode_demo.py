@@ -41,6 +41,7 @@ def _save_bundle(out, tok, dim, layers, seed, max_seq=192):
         json.dump(dataclasses.asdict(cfg), f)
 
 
+@pytest.mark.e2e
 def test_spec_decode_demo_end_to_end(tmp_path, monkeypatch):
     from gnn_rag_tpu.rag.llms.llama_tpu import WordTokenizer
 

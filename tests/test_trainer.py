@@ -41,6 +41,7 @@ def trainer(tmp_path_factory):
     return tr
 
 
+@pytest.mark.e2e
 def test_loss_decreases(trainer):
     loss0, _, _ = trainer.train_epoch()
     for _ in range(14):

@@ -31,6 +31,7 @@ def check(model, params, batch, *args):
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.e2e
 def test_lstm_encoder_path():
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
@@ -56,6 +57,7 @@ def test_lstm_with_pretrained_word_emb():
     assert "word_embedding" not in str(jax.tree_util.tree_structure(params))
 
 
+@pytest.mark.e2e
 def test_pretrained_entity_embeddings():
     rng = np.random.default_rng(2)
     batch = make_batch(rng)
