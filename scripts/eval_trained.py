@@ -292,6 +292,7 @@ def main():
 
     with open(preset["out"], "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     print(json.dumps(res, indent=1))
 
 

@@ -172,6 +172,7 @@ def main():
                     rows.append(row)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
+        f.write("\n")
     print(f"wrote {args.out} ({len(rows)} rows)", file=sys.stderr)
 
 

@@ -151,6 +151,7 @@ def main():
                             "longctx_r02.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     print(json.dumps(res, indent=1))
 
 

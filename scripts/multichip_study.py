@@ -253,6 +253,7 @@ def main():
                             "multichip_study_r03.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     print(json.dumps(result, indent=1))
 
 

@@ -186,6 +186,7 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     log(f"wrote {args.out}")
 
 
