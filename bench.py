@@ -349,7 +349,8 @@ def main():
         import os
         here = os.path.dirname(os.path.abspath(__file__))
         art = None
-        for name in ("training_r03.json", "training_r02.json"):
+        for name in ("training_r04.json", "training_r03.json",
+                     "training_r02.json"):
             cand = os.path.join(here, "docs", name)
             if os.path.exists(cand):
                 art = cand
@@ -366,13 +367,15 @@ def main():
             "end_to_end_train_sgps": t["training"].get(
                 "train_subgraphs_per_sec"),
         }
-        reader = t.get("rag_trained_reader", {}).get("eval_result")
-        if reader:
-            extra["trained_quality_synthqsp"]["rag_trained_reader"] = {
-                "hit_pct": reader.get("Hit"),
-                "hit1_pct": reader.get("Hit1"),
-                "f1_pct": reader.get("F1"),
-            }
+        for rkey in ("rag_trained_reader_kp", "rag_trained_reader"):
+            reader = t.get(rkey, {}).get("eval_result")
+            if reader:
+                extra["trained_quality_synthqsp"][rkey] = {
+                    "hit_pct": reader.get("Hit"),
+                    "hit1_pct": reader.get("Hit1"),
+                    "f1_pct": reader.get("F1"),
+                }
+                break
     except Exception as exc:
         log("no trained-quality artifact:", exc)
 
@@ -391,10 +394,19 @@ def main():
             "prefill_2048_ms": s["prefill"]["2048"]["ms"],
             "prefill_2048_tokens_per_s":
                 s["prefill"]["2048"]["prefill_tokens_per_s"],
-            "greedy_decode_tokens_per_s":
-                s["greedy_decode"]["tokens_per_s"],
-            "decode_hbm_peak_gb": s["greedy_decode"]["hbm_peak_gb"],
+            "greedy_decode_bs1_tokens_per_s":
+                s["greedy_decode_by_batch"]["1"]["tokens_per_s"],
+            "greedy_decode_bs8_tokens_per_s":
+                s["greedy_decode_by_batch"]["8"]["tokens_per_s"],
+            "decode_bs1_weight_stream_gb_per_s":
+                s["greedy_decode_by_batch"]["1"]["weight_stream_gb_per_s"],
         }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "llm7b_int8_r04.json")) as f:
+            s8 = json.load(f)
+        extra["llama7b_config"]["int8_decode_bs1_tokens_per_s"] = (
+            s8["greedy_decode_by_batch"]["1"]["tokens_per_s"])
+        extra["llama7b_config"]["int8_source"] = "docs/llm7b_int8_r04.json"
     except Exception as exc:
         log("no 7B study artifact:", exc)
 
