@@ -30,7 +30,8 @@ def log(*a):
 
 
 def build_texts(data_dir: str, split: str, budget: int, tok,
-                rng=None, keep_parallel: bool = False) -> list:
+                rng=None, keep_parallel: bool = False,
+                shuffle_seed=None) -> list:
     """KGQA split -> llama2 QA SFT texts in the SERVING distribution: the
     prompt is built by the same PromptBuilder `cand` path predict.py uses
     (shortest paths from question entities to a candidate set), with the
@@ -38,13 +39,20 @@ def build_texts(data_dir: str, split: str, budget: int, tok,
     reader learns to SELECT the tails whose relation chain matches the
     question, not to memorise answers (the failure mode of ground-truth-
     only prompts on a small set)."""
+    import random as _random
+
     from gnn_rag_tpu.rag.prompt_builder import PromptBuilder
 
     rng = rng or np.random.default_rng(0)
+    # seed the truncation shuffle: unseeded it made every run's texts (and
+    # therefore its loss curve) unreproducible, which hid the fact that the
+    # copy-circuit phase transition was seed-luck (r4 probes A-D)
     builder = PromptBuilder("prompts/llama2_predict.txt", add_rule=False,
                             maximun_token=budget,
                             tokenize=lambda t: len(tok.encode(t)),
-                            keep_parallel=keep_parallel)
+                            keep_parallel=keep_parallel,
+                            rng=None if shuffle_seed is None
+                            else _random.Random(shuffle_seed))
     texts = []
     n_seen = n_dropped = 0
     with open(os.path.join(data_dir, f"{split}.json")) as f:
@@ -107,6 +115,20 @@ def main():
                          "scripts/spec_decode_demo.py, whose draft/target "
                          "must share a vocabulary. OOV words fall back to "
                          "byte tokens, so coverage gaps only cost length.")
+    ap.add_argument("--prompt_loss_weight", type=float, default=0.2,
+                    help="LM-loss weight on PROMPT tokens (completion "
+                         "tokens stay at 1.0). Completion-only supervision "
+                         "(~1%% of tokens) leaves copy-circuit formation to "
+                         "seed luck in a from-scratch reader: r4 probes on "
+                         "byte-identical data landed at held-out 1.9 or 3.3 "
+                         "nats depending on nothing but the truncation "
+                         "shuffle. The reference never sees this because it "
+                         "finetunes a PRETRAINED llama2 whose induction "
+                         "heads already exist (llm/src/joint_training/"
+                         "joint_finetuning.py); a 26M random-init model "
+                         "needs next-token signal over the path text itself "
+                         "to grow them. 0 restores reference-parity "
+                         "completion-only loss.")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--max_seq", type=int, default=320)
     ap.add_argument("--dim", type=int, default=384)
@@ -143,7 +165,8 @@ def main():
     for v in range(max(args.variants, 1)):
         texts += build_texts(args.data, "train", budget, _ChunkCount(),
                              rng=np.random.default_rng(v),
-                             keep_parallel=args.keep_parallel)
+                             keep_parallel=args.keep_parallel,
+                             shuffle_seed=1000 + v)
     if args.gen_train:
         import tempfile
 
@@ -156,7 +179,8 @@ def main():
         for v in range(max(args.variants, 1)):
             texts += build_texts(gen_dir, "train", budget, _ChunkCount(),
                                  rng=np.random.default_rng(91 + v),
-                                 keep_parallel=args.keep_parallel)
+                                 keep_parallel=args.keep_parallel,
+                                 shuffle_seed=2000 + v)
     log(f"{len(texts)} SFT texts in {time.time()-t0:.0f}s; fitting vocab...")
 
     vocab_path = os.path.join(args.out, "vocab.json")
@@ -194,6 +218,15 @@ def main():
                                       args.max_seq, tok.pad_id)
     kept = float((loss_mask.sum(1) > 0).mean())
     log(f"packed: {tokens.shape}, completion coverage {kept:.3f}")
+    if args.prompt_loss_weight > 0:
+        # weighted LM loss on prompt tokens (see --prompt_loss_weight);
+        # SFTTrainer's NLL is sum(nll*mask)/sum(mask), so fractional mask
+        # values act as per-token weights. Padding stays at 0.
+        prompt_pos = (tokens != tok.pad_id) & (loss_mask == 0)
+        loss_mask = (loss_mask + args.prompt_loss_weight
+                     * prompt_pos).astype(np.float32)
+        log(f"prompt-LM weight {args.prompt_loss_weight}: mask mean "
+            f"{float(loss_mask.mean()):.3f}")
 
     mcfg = LlamaConfig(vocab_size=tok.vocab_size, dim=args.dim,
                        n_layers=args.layers, n_heads=args.heads,
@@ -235,7 +268,8 @@ def main():
     import jax.numpy as jnp
     val_texts = build_texts(args.data, "train", budget, _ChunkCount(),
                             rng=np.random.default_rng(987654),
-                            keep_parallel=args.keep_parallel)[:256]
+                            keep_parallel=args.keep_parallel,
+                            shuffle_seed=987654)[:256]
     vt, vm = pack_examples(val_texts, tokenize, template_ids, args.max_seq,
                            tok.pad_id)
 
@@ -269,6 +303,7 @@ def main():
                                               4),
                    "heldout_rerolled_loss": round(float(val_loss), 4),
                    "variants": args.variants,
+                   "prompt_loss_weight": args.prompt_loss_weight,
                    "keep_parallel": args.keep_parallel,
                    "n_texts": len(texts),
                    "dim": args.dim, "layers": args.layers,
