@@ -349,8 +349,8 @@ def main():
         import os
         here = os.path.dirname(os.path.abspath(__file__))
         art = None
-        for name in ("training_r04.json", "training_r03.json",
-                     "training_r02.json"):
+        for name in ("training_r05.json", "training_r04.json",
+                     "training_r03.json", "training_r02.json"):
             cand = os.path.join(here, "docs", name)
             if os.path.exists(cand):
                 art = cand
@@ -383,32 +383,59 @@ def main():
     # (scripts/llm7b_study.py measures prefill/decode/HBM with random bf16
     # weights at the exact LLaMA2-7B architecture) — not re-measured here:
     # 13.4GB of params on the shared 16GB chip would make bench flaky
-    try:
-        import os
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "llm7b_r04.json")) as f:
-            s = json.load(f)
-        extra["llama7b_config"] = {
-            "source": "docs/llm7b_r04.json",
-            "param_gb": s["param_gb"],
-            "prefill_2048_ms": s["prefill"]["2048"]["ms"],
-            "prefill_2048_tokens_per_s":
-                s["prefill"]["2048"]["prefill_tokens_per_s"],
-            "greedy_decode_bs1_tokens_per_s":
-                s["greedy_decode_by_batch"]["1"]["tokens_per_s"],
-            "greedy_decode_bs8_tokens_per_s":
-                s["greedy_decode_by_batch"]["8"]["tokens_per_s"],
-            "decode_bs1_weight_stream_gb_per_s":
-                s["greedy_decode_by_batch"]["1"]["weight_stream_gb_per_s"],
-        }
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "llm7b_int8_r04.json")) as f:
-            s8 = json.load(f)
-        extra["llama7b_config"]["int8_decode_bs1_tokens_per_s"] = (
-            s8["greedy_decode_by_batch"]["1"]["tokens_per_s"])
-        extra["llama7b_config"]["int8_source"] = "docs/llm7b_int8_r04.json"
-    except Exception as exc:
-        log("no 7B study artifact:", exc)
+    # Each artifact/key group gets its own guard so one missing key (e.g. a
+    # recorded OOM error row llm7b_study writes deliberately) can't drop the
+    # keys that DO exist (ADVICE r4).
+    import os
+
+    def _dig(tree, *keys):
+        for k in keys:
+            if not isinstance(tree, dict) or k not in tree:
+                return None
+            tree = tree[k]
+        return tree
+
+    def _load_doc(name):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "docs", name)) as f:
+                return json.load(f)
+        except Exception as exc:
+            log(f"no {name} artifact:", exc)
+            return None
+
+    s = _load_doc("llm7b_r04.json")
+    if s is not None:
+        row = {"source": "docs/llm7b_r04.json", "param_gb": s.get("param_gb"),
+               "prefill_2048_ms": _dig(s, "prefill", "2048", "ms"),
+               "prefill_2048_tokens_per_s":
+                   _dig(s, "prefill", "2048", "prefill_tokens_per_s"),
+               "greedy_decode_bs1_tokens_per_s":
+                   _dig(s, "greedy_decode_by_batch", "1", "tokens_per_s"),
+               "greedy_decode_bs8_tokens_per_s":
+                   _dig(s, "greedy_decode_by_batch", "8", "tokens_per_s"),
+               "decode_bs1_weight_stream_gb_per_s":
+                   _dig(s, "greedy_decode_by_batch", "1",
+                        "weight_stream_gb_per_s")}
+        extra["llama7b_config"] = {k: v for k, v in row.items()
+                                   if v is not None}
+    s5 = _load_doc("llm7b_r05.json")
+    if s5 is not None and _dig(s5, "speculative", "tokens_per_s"):
+        extra.setdefault("llama7b_config", {})["speculative"] = {
+            "source": "docs/llm7b_r05.json",
+            "tokens_per_s": _dig(s5, "speculative", "tokens_per_s"),
+            "acceptance": _dig(s5, "speculative", "measured_acceptance"),
+            "exact_greedy_parity":
+                _dig(s5, "speculative", "exact_greedy_parity")}
+    s8 = _load_doc("llm7b_int8_r04.json")
+    if s8 is not None:
+        v = _dig(s8, "greedy_decode_by_batch", "1", "tokens_per_s")
+        if v is not None:
+            extra.setdefault("llama7b_config", {})[
+                "int8_decode_bs1_tokens_per_s"] = v
+            extra["llama7b_config"]["int8_source"] = (
+                "docs/llm7b_int8_r04.json")
 
     tpu = webqsp["fwd_subgraphs_per_s"]
     base = bench_torch_reference_style()

@@ -23,8 +23,11 @@ def _match(path: str, targets: Sequence[str]) -> bool:
 
 
 def init_lora(params, rng_key, r: int = 8, targets: Sequence[str] = DEFAULT_TARGETS):
-    """Returns {path: {"a": [in, r], "b": [r, out_total]}} for matched kernels.
-    A ~ N(0, 1/r), B = 0 (standard LoRA init: adapter starts as a no-op)."""
+    """Returns {path: {"a": [in, r], "b": [r, out]}} for matched kernels.
+    A ~ N(0, 1/r), B = 0 (standard LoRA init: adapter starts as a no-op,
+    with the random factor on the INPUT dim as in peft). TDense kernels are
+    stored transposed [out, in] (model.py TDense), so d_in is shape[1] for
+    2-D kernels; merge_lora transposes the delta back to the kernel layout."""
     lora = {}
     keys = jax.random.split(rng_key, 1024)
     i = 0
@@ -32,8 +35,11 @@ def init_lora(params, rng_key, r: int = 8, targets: Sequence[str] = DEFAULT_TARG
         name = jax.tree_util.keystr(path)
         if not _match(name, targets):
             continue
-        d_in = leaf.shape[0]
-        d_out = int(np.prod(leaf.shape[1:]))
+        if leaf.ndim == 2:                       # TDense [out, in]
+            d_out, d_in = int(leaf.shape[0]), int(leaf.shape[1])
+        else:                                    # legacy [in, ...out]
+            d_in = leaf.shape[0]
+            d_out = int(np.prod(leaf.shape[1:]))
         a = jax.random.normal(keys[i], (d_in, r), jnp.float32) / r
         b = jnp.zeros((r, d_out), jnp.float32)
         lora[name] = {"a": a, "b": b}
@@ -49,7 +55,9 @@ def merge_lora(params, lora, alpha: float = 16.0, r: int = 8):
         name = jax.tree_util.keystr(path)
         if name not in lora:
             return leaf
-        delta = (lora[name]["a"] @ lora[name]["b"]) * scale
+        delta = (lora[name]["a"] @ lora[name]["b"]) * scale  # [in, out]
+        if leaf.ndim == 2:                       # TDense [out, in]
+            delta = delta.T
         return leaf + delta.reshape(leaf.shape).astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(merge, params)

@@ -286,6 +286,9 @@ class SFTTrainer:
         last = self.last_checkpoint()
         if last is None:
             return False
-        self.params = load_pytree(self._ckpt_path(last), self.params)
+        from ..utils.checkpoint import validate_shapes
+        self.params = validate_shapes(
+            load_pytree(self._ckpt_path(last), self.params),
+            self.params, context=self._ckpt_path(last))
         self.step = last
         return True

@@ -27,8 +27,10 @@ def param_spec(path: str, x) -> P:
         return P()
     transposed = "kernel_q" not in path    # TDense vs QuantDenseGeneral
     if "tok_emb" in path or "lm_head" in path:
-        # shard the vocab axis wherever it is
-        return P("tp", None) if x.shape[0] > x.shape[1] else P(None, "tp")
+        # shard the vocab axis: tok_emb embedding and TDense lm_head are
+        # [V, D]; only quant kernel_q is [D, V]. Branch on name, not shape —
+        # a vocab <= dim (tiny/test configs) would fool a shape heuristic.
+        return P(None, "tp") if not transposed else P("tp", None)
     if any(k in path for k in ("q_proj", "k_proj", "v_proj")):
         if x.ndim == 3:                    # legacy [dim, H, Dh]
             return P(None, "tp", None)

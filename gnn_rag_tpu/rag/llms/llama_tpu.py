@@ -144,7 +144,7 @@ class LlamaTPU(BaseLanguageModel):
 
         from ...llm_tpu.generate import Decoder
         from ...llm_tpu.model import LlamaConfig, LlamaLM
-        from ...utils.checkpoint import load_pytree
+        from ...utils.checkpoint import load_pytree, validate_shapes
 
         path = self.args.model_path
         vocab_path = os.path.join(path, "vocab.json")
@@ -158,7 +158,9 @@ class LlamaTPU(BaseLanguageModel):
         model = LlamaLM(cfg)
         dummy = model.init(__import__("jax").random.PRNGKey(0),
                            jnp.zeros((1, 8), jnp.int32))
-        params = load_pytree(os.path.join(path, "checkpoint"), dummy)
+        params = validate_shapes(
+            load_pytree(os.path.join(path, "checkpoint"), dummy),
+            dummy, context=path)
         quant = getattr(self.args, "quant", None)
         if quant == "int8" and cfg.quant != "int8":
             import dataclasses as _dc
@@ -184,8 +186,9 @@ class LlamaTPU(BaseLanguageModel):
             dmodel = LlamaLM(dcfg)
             ddummy = dmodel.init(__import__("jax").random.PRNGKey(0),
                                  jnp.zeros((1, 8), jnp.int32))
-            dparams = load_pytree(os.path.join(draft_path, "checkpoint"),
-                                  ddummy)
+            dparams = validate_shapes(
+                load_pytree(os.path.join(draft_path, "checkpoint"), ddummy),
+                ddummy, context=draft_path)
             self.spec = SpeculativeDecoder(
                 model, params, dmodel, dparams, max_len=cfg.max_seq_len,
                 gamma=gamma)

@@ -63,6 +63,35 @@ def load_pytree(path: str, target: Any, partial: bool = False) -> Any:
                          if _same_structure(target, raw) else raw)
 
 
+def validate_shapes(restored: Any, target: Any, context: str = "") -> Any:
+    """Fail FAST and clearly when a restored tree's leaf shapes disagree with
+    the model's init shapes — e.g. a pre-TDense bf16 bundle (DenseGeneral
+    [in, out] kernels) restored into the transposed [out, in] layout
+    (model.py TDense). Without this the mismatch only surfaces later as an
+    opaque dot_general shape error at apply time."""
+    import jax
+    import numpy as np
+
+    bad = []
+
+    def chk(path, r, t):
+        rs, ts = tuple(np.shape(r)), tuple(np.shape(t))
+        if rs != ts:
+            bad.append(f"{jax.tree_util.keystr(path)}: checkpoint {rs} "
+                       f"vs model {ts}")
+        return r
+
+    jax.tree_util.tree_map_with_path(chk, restored, target)
+    if bad:
+        raise ValueError(
+            f"checkpoint layout mismatch{' (' + context + ')' if context else ''}: "
+            + "; ".join(bad[:4])
+            + (f"; +{len(bad) - 4} more" if len(bad) > 4 else "")
+            + ". 2-D kernels transposed => a pre-TDense (r3) bundle: retrain "
+              "it or transpose its 2-D kernels into the [out, in] layout.")
+    return restored
+
+
 def _same_structure(target, raw) -> bool:
     import jax
     try:

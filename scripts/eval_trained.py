@@ -84,6 +84,17 @@ PRESETS = {
         hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
               "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19); r04 "
               "kernels (k_per_cell sweep default) + async epoch loop"),
+    "synthqsp_r05": dict(
+        data="data/synthqsp", ckpt_dir="checkpoints/synthqsp_r04",
+        exp="synthqsp_r04", out="docs/training_r05.json",
+        n_train=1500, train_log="/tmp/train_r04.log",
+        model_args=["--num_iter", "3", "--num_ins", "2"],
+        dataset="SynthQSP (reference-scale proxy: 1500/150/350 questions, "
+                "lognormal subgraphs ~E1900/F~10k incl. self-loops+"
+                "inverse=off, 1-4 hop mix)",
+        hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19); r05 "
+              "stack (K=8 kernels, TDense, prompt-LM-weighted reader)"),
     "synthcwq_r04": dict(
         data="data/synthcwq", ckpt_dir="checkpoints/synthcwq_r04",
         exp="synthcwq_r04", out="docs/training_cwq_r04.json",
@@ -252,7 +263,9 @@ def main():
             res = {}
     res["dataset"] = preset["dataset"]
     res["hyperparameters"] = preset["hyper"]
-    res["training"] = parse_train_log(train_log, preset["n_train"])
+    trained = parse_train_log(train_log, preset["n_train"])
+    if trained or "training" not in res:
+        res["training"] = trained
     if not args.skip_eval or not os.path.exists(info_path):
         log("eval-only export on chip...")
         run_eval_export(ckpt, info_path, preset)

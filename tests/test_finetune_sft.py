@@ -137,7 +137,6 @@ def test_gen_rule_path_with_stub(tmp_path):
     assert ["language_spoken"] in rec["ground_paths"]
 
 
-@pytest.mark.e2e
 def test_chunked_loss_matches_dense():
     """chunked_completion_loss (scan + checkpoint over vocab chunks) must
     equal the dense lm_head loss in value AND gradient — it exists purely to

@@ -64,7 +64,6 @@ def test_model_forward_shapes(tiny_lm):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
-@pytest.mark.e2e
 def test_kv_cache_decode_matches_full_forward(tiny_lm):
     cfg, model, params = tiny_lm
     prompt = list(range(1, 9))
@@ -173,8 +172,11 @@ class TestSpeculativeDecoder:
                             jnp.zeros((1, 8), jnp.int32))
         return model, params
 
-    @pytest.mark.parametrize("gamma", [1, 3, 5])
-    @pytest.mark.e2e
+    # gamma=3 stays in the fast default suite: speculative EXACTNESS is a
+    # layout-sensitive invariant that must gate every commit (ADVICE r4)
+    @pytest.mark.parametrize("gamma", [
+        pytest.param(1, marks=pytest.mark.e2e), 3,
+        pytest.param(5, marks=pytest.mark.e2e)])
     def test_exact_match_independent_draft(self, gamma):
         from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
 

@@ -178,8 +178,11 @@ def test_v4_split_launch_matches_reference(J, monkeypatch):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("K", [1, 2, 8])
-@pytest.mark.e2e
+# K=8 (the shipping default, _pick_k) stays in the fast default suite so a
+# plain `pytest tests/` still exercises the k_per_cell path (ADVICE r4)
+@pytest.mark.parametrize("K", [
+    pytest.param(1, marks=pytest.mark.e2e),
+    pytest.param(2, marks=pytest.mark.e2e), 8])
 def test_v4_k_per_cell_equivalence(K, monkeypatch):
     """Fwd+bwd results are identical for every chunks-per-grid-cell K
     (fatter grid iterations only amortise per-iteration cost)."""

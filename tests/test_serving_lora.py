@@ -26,7 +26,6 @@ def test_serving_roundtrip():
         server.stop()
 
 
-@pytest.mark.e2e
 def test_lora_no_op_at_init_and_trains():
     import jax
     import jax.numpy as jnp
