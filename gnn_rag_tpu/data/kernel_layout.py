@@ -130,12 +130,7 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
 
     n_tiles = E // tile_e
 
-    def pack(samples):
-        # rounded to a multiple of 8 chunks so the kernel's k_per_cell grid
-        # grouping (ops.pallas_mp._pick_k) divides it (loader batches get
-        # the same rounding via nc_bucket)
-        nc = max(len(s[4]) for s in samples)
-        nc = -(-nc // 8) * 8
+    def pack(samples, nc):
         Fp = nc * tile_f
         sc = np.full((B, Fp), -1, np.int32)
         ga = np.zeros((B, Fp), np.int32)
@@ -155,10 +150,18 @@ def build_kernel_layout(heads: np.ndarray, rels: np.ndarray, tails: np.ndarray,
             cs[b] = c_starts
         return DirectionLayout(sc, ga, rl, ct, cs, wt, pm)
 
-    fwd = pack(_build_direction(tails, heads, rels, weight, fact_mask, E,
-                                pad_rel, tile_e, tile_f))
-    inv = pack(_build_direction(heads, tails, rels, weight, fact_mask, E,
-                                pad_rel, tile_e, tile_f))
+    fwd_s = _build_direction(tails, heads, rels, weight, fact_mask, E,
+                             pad_rel, tile_e, tile_f)
+    inv_s = _build_direction(heads, tails, rels, weight, fact_mask, E,
+                             pad_rel, tile_e, tile_f)
+    # BOTH directions pad to ONE shared chunk count (the fused dual-direction
+    # kernel stacks fwd/inv chunk_tiles), rounded to a multiple of 8 so the
+    # kernel's k_per_cell grid grouping (ops.pallas_mp._pick_k) divides it
+    # (loader batches get the same rounding via nc_bucket)
+    nc = max(len(s[4]) for s in list(fwd_s) + list(inv_s))
+    nc = -(-nc // 8) * 8
+    fwd = pack(fwd_s, nc)
+    inv = pack(inv_s, nc)
     return KernelLayout(fwd=fwd, inv=inv, num_entities=E)
 
 

@@ -68,7 +68,8 @@ class ReasonGNN(nn.Module):
         if layout is not None:
             from ..ops.pallas_mp import (gate_scatter, gate_scatter_both,
                                          gate_scatter_projected)
-            from ..ops.segment import batched_segment_sum, layout_fact_keep
+            from ..ops.segment import (batched_segment_sum, layout_fact_keep,
+                                       mxu_gather)
             # bf16 gate values run the MXU at full rate (f32 accumulate in
             # the kernel either way); f32 uses exact HIGHEST passes
             cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -116,11 +117,13 @@ class ReasonGNN(nn.Module):
                                 nn.initializers.zeros, (D,))
 
             if layout is not None:
-                # fused Pallas path: gather+gate+prior+scatter in one kernel
-                prior_f = jnp.take_along_axis(curr_dist, layout.fwd.gather,
-                                              axis=1) * norm_f
-                prior_i = jnp.take_along_axis(curr_dist, layout.inv.gather,
-                                              axis=1) * norm_i
+                # fused Pallas path: gather+gate+prior+scatter in one kernel.
+                # The prior gather rides the MXU (ops/segment.mxu_gather):
+                # XLA's native [B,F]-from-[B,E] gather is a ~10ns/element
+                # serial loop that was 26% of the train step, and its
+                # scatter-add transpose another 17% (kernel_floor_r05).
+                prior_f = mxu_gather(curr_dist, layout.fwd.gather) * norm_f
+                prior_i = mxu_gather(curr_dist, layout.inv.gather) * norm_i
                 if use_v4:
                     # projection as one big XLA matmul per step-direction;
                     # both direction scatters fused into ONE kernel launch

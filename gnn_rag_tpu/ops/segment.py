@@ -25,10 +25,44 @@ def gather_entities_to_facts(ent_values: jnp.ndarray, index: jnp.ndarray) -> jnp
     fact_mask).
     """
     if ent_values.ndim == 2:
-        return jnp.take_along_axis(ent_values, index, axis=1)
+        # MXU one-hot decomposition when E is tile-aligned (mxu_gather);
+        # XLA's element gather is a serial loop on TPU
+        return mxu_gather(ent_values, index)
     B, F = index.shape
     D = ent_values.shape[-1]
     return jnp.take_along_axis(ent_values, index[..., None], axis=1)
+
+
+def mxu_gather(values: jnp.ndarray, index: jnp.ndarray,
+               tile: int = 128) -> jnp.ndarray:
+    """``take_along_axis(values, index, axis=1)`` as two one-hot einsums.
+
+    XLA lowers a [B, F] element-gather from [B, E] to a SERIAL per-element
+    loop on TPU (~10ns/element: 1.67 ms for 160k elements, 26% of the whole
+    WebQSP-B16 ReaRev train step, docs/kernel_floor_r05.json ablation).
+    Decomposing the index into (tile-id, offset) turns it into two tiny
+    one-hot contractions the MXU eats, and autodiff turns the backward into
+    the same matmuls (killing the equally-serial scatter-add transpose):
+
+        values2[b, t, r]  = values[b, t*tile + r]
+        d1[b, f, r]       = sum_t values2[b, t, r] * 1[index//tile == t]
+        out[b, f]         = sum_r d1[b, f, r]      * 1[index%tile  == r]
+
+    E must divide by ``tile`` (loader buckets are 128-multiples). Exactness:
+    one-hot entries are exact in every dtype; f32 values keep f32 precision
+    through HIGHEST-precision dots.
+    """
+    B, E = values.shape
+    if E % tile:
+        return jnp.take_along_axis(values, index, axis=1)
+    nt = E // tile
+    prec = (jax.lax.Precision.HIGHEST if values.dtype == jnp.float32
+            else None)
+    v2 = values.reshape(B, nt, tile)
+    t_oh = jax.nn.one_hot(index // tile, nt, dtype=values.dtype)  # [B,F,NT]
+    d1 = jnp.einsum("bnr,bfn->bfr", v2, t_oh, precision=prec)     # [B,F,TE]
+    r_oh = jax.nn.one_hot(index % tile, tile, dtype=values.dtype)
+    return jnp.einsum("bfr,bfr->bf", d1, r_oh, precision=prec)
 
 
 def batched_segment_sum(values: jnp.ndarray, index: jnp.ndarray, num_segments: int) -> jnp.ndarray:
@@ -40,6 +74,17 @@ def batched_segment_sum(values: jnp.ndarray, index: jnp.ndarray, num_segments: i
     sparse matrices (dataset_load.py:483 ``index_bias = i * max_local_entity``).
     """
     B, F = index.shape
+    if values.ndim == 2 and num_segments % 128 == 0:
+        # MXU one-hot transpose of mxu_gather: XLA's scatter-add is the same
+        # serial per-element loop as its gather (kernel_floor_r05 ablation)
+        tile, nt = 128, num_segments // 128
+        prec = (jax.lax.Precision.HIGHEST if values.dtype == jnp.float32
+                else None)
+        r_oh = jax.nn.one_hot(index % tile, tile, dtype=values.dtype)
+        t_oh = jax.nn.one_hot(index // tile, nt, dtype=values.dtype)
+        d1 = r_oh * values[..., None]                           # [B,F,TE]
+        out2 = jnp.einsum("bfr,bfn->bnr", d1, t_oh, precision=prec)
+        return out2.reshape(B, num_segments)
     offsets = (jnp.arange(B, dtype=index.dtype) * num_segments)[:, None]
     flat_ids = (index + offsets).reshape(B * F)
     flat_vals = values.reshape((B * F,) + values.shape[2:])

@@ -16,7 +16,7 @@ measures it directly instead of guessing:
    every step because question_emb trains), a batch-size-independent cost.
 3. fwd-only rows for the same grid, separating fwd floor from bwd floor.
 
-Output: docs/kernel_floor_r04.json + a human verdict line.
+Output: docs/kernel_floor_r05.json + a human verdict line.
 
 Reference match: reasongnn.py:61-116 (the torch.sparse op this replaces);
 the floor components have no reference counterpart to beat — they are the
@@ -143,7 +143,7 @@ def main():
                 "projection trains).",
     }
     os.makedirs("docs", exist_ok=True)
-    with open("docs/kernel_floor_r04.json", "w") as f:
+    with open("docs/kernel_floor_r05.json", "w") as f:
         json.dump(verdict, f, indent=1)
         f.write("\n")
     print(json.dumps(verdict, indent=1))

@@ -1,4 +1,4 @@
-"""Multi-chip scaling study -> docs/multichip_study_r03.json.
+"""Multi-chip scaling study -> docs/multichip_study_r05.json.
 
 (The driver owns MULTICHIP_r0N.json at the repo root and overwrites it with
 its own dryrun capture each round, so this study's artifact lives in docs/.)
@@ -250,7 +250,7 @@ def main():
         "sft_meshes": sft_rows,
     }
     out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                            "multichip_study_r03.json")
+                            "multichip_study_r05.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")

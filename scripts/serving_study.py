@@ -1,4 +1,4 @@
-"""QAService serving evidence -> docs/serving_r04.json.
+"""QAService serving evidence -> docs/serving_r05.json.
 
 VERDICT r3 demand #4: QAService (gnn_rag_tpu/serve.py) is the flagship
 new capability over the reference — the reference couples its two stages
@@ -96,7 +96,7 @@ def main():
                     help="draft bundle for the speculative row")
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--max_new", type=int, default=24)
-    ap.add_argument("--out", default="docs/serving_r04.json")
+    ap.add_argument("--out", default="docs/serving_r05.json")
     args = ap.parse_args()
 
     import scripts.serve_qa as serve_qa
