@@ -151,6 +151,13 @@ def ingest_question(sample: dict, vocab: Vocab, *, data_name: str,
         answer_gids = list(sample["answers_cid"])
     else:
         for ans in sample.get("answers", []):
+            if isinstance(ans, str):
+                # serving payloads (serve.py /retrieve, /answer) send bare
+                # answer strings — or none at all; unknown entities are
+                # skipped because answers only feed metrics, not retrieval
+                if ans in entity2id:
+                    answer_gids.append(entity2id[ans])
+                continue
             keyword = "text" if isinstance(ans.get("kb_id"), int) else "kb_id"
             answer_gids.append(entity2id[ans[keyword]])
     answer_locals = np.asarray([g2l[a] for a in answer_gids if a in g2l],

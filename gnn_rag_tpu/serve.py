@@ -246,7 +246,13 @@ def _serve_http(host: str, port: int, routes):
             except ValueError as exc:
                 self.send_error(400, explain=str(exc))
                 return
-            payload = json.dumps(handler(body)).encode()
+            try:
+                payload = json.dumps(handler(body)).encode()
+            except Exception as exc:   # noqa: BLE001 — a bad question must
+                # 500 with the reason, not drop the connection and take the
+                # worker thread down with it
+                self.send_error(500, explain=f"{type(exc).__name__}: {exc}")
+                return
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))

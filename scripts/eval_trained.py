@@ -95,6 +95,16 @@ PRESETS = {
         hyper="ReaRev published: entity_dim 50, num_iter 3, num_ins 2, "
               "num_gnn 3, lm sbert, batch 8 (gnn/README.md:19); r05 "
               "stack (K=8 kernels, TDense, prompt-LM-weighted reader)"),
+    "synthcwq_r05": dict(
+        data="data/synthcwq", ckpt_dir="checkpoints/synthcwq_r05",
+        exp="synthcwq_r05", out="docs/training_cwq_r05.json",
+        n_train=2000, train_log="/tmp/train_cwq_r05.log",
+        model_args=["--num_iter", "2", "--num_ins", "3"],
+        dataset="SynthCWQ (CWQ-flavoured proxy: 2000/200/500 questions, "
+                "compositional-heavy 2-4 hop mix, subgraphs up to E6000)",
+        hyper="ReaRev CWQ published: entity_dim 50, num_iter 2, num_ins 3, "
+              "num_gnn 3, lm sbert, batch 8 (gnn/scripts/rearev_cwq.sh); "
+              "r05 stack (K=8 kernels, TDense, mxu_gather)"),
     "synthcwq_r04": dict(
         data="data/synthcwq", ckpt_dir="checkpoints/synthcwq_r04",
         exp="synthcwq_r04", out="docs/training_cwq_r04.json",

@@ -84,6 +84,17 @@ def test_answer_keyword_quirk():
     assert rec.answer_gids == [2]
 
 
+def test_bare_string_answers_for_serving():
+    # serving payloads (serve.py) send answers as bare strings, or omit
+    # them; unknown strings are skipped (answers only feed metrics)
+    sample = make_sample()
+    sample["answers"] = ["m.2", "definitely-not-an-entity"]
+    rec = ingest(sample)
+    assert rec.answer_gids == [2]
+    sample["answers"] = []
+    assert ingest(sample).answer_gids == []
+
+
 def test_parallel_ingest_matches_serial(tmp_path):
     import json
     path = tmp_path / "train.json"

@@ -67,3 +67,49 @@ def test_head_degree_weight():
     mask = jnp.asarray([[1.0, 1.0, 1.0, 1.0, 1.0, 0.0]])
     w = np.asarray(head_degree_weight(heads, mask, 4))
     np.testing.assert_allclose(w[0], [0.5, 0.5, 1.0, 0.5, 0.5, 0.0])
+
+
+def test_mxu_gather_tile_aligned_exact():
+    # E % 128 == 0 takes the one-hot MXU einsum path (ops/segment.mxu_gather);
+    # it must be bit-exact vs take_along_axis in f32 (HIGHEST dots) and
+    # value-exact in bf16 (one-hot entries are exact in every dtype)
+    from gnn_rag_tpu.ops.segment import mxu_gather
+    rng = np.random.default_rng(4)
+    B, E, F = 4, 256, 333
+    idx = rng.integers(0, E, size=(B, F)).astype(np.int32)
+    for dtype in (np.float32, jnp.bfloat16):
+        vals = jnp.asarray(rng.standard_normal((B, E))).astype(dtype)
+        out = np.asarray(mxu_gather(vals, jnp.asarray(idx)), np.float32)
+        expect = np.take_along_axis(np.asarray(vals, np.float32), idx, axis=1)
+        np.testing.assert_array_equal(out, expect)
+
+
+def test_segment_sum_2d_mxu_branch_exact():
+    # num_segments % 128 == 0 and 2-D values takes the transposed one-hot
+    # MXU branch in batched_segment_sum; exact vs the scatter-add reference
+    rng = np.random.default_rng(5)
+    B, F, E = 3, 500, 384
+    vals = rng.standard_normal((B, F)).astype(np.float32)
+    idx = rng.integers(0, E, size=(B, F)).astype(np.int32)
+    out = np.asarray(batched_segment_sum(jnp.asarray(vals), jnp.asarray(idx), E))
+    expect = np.zeros((B, E), np.float32)
+    for b in range(B):
+        np.add.at(expect[b], idx[b], vals[b])
+    np.testing.assert_allclose(out, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_mxu_gather_grad_is_exact_scatter():
+    # autodiff of mxu_gather must produce the exact scatter-add transpose
+    import jax
+    from gnn_rag_tpu.ops.segment import mxu_gather
+    rng = np.random.default_rng(6)
+    B, E, F = 2, 128, 77
+    vals = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, size=(B, F)).astype(np.int32))
+    ct = rng.standard_normal((B, F)).astype(np.float32)
+
+    g_mxu = jax.grad(lambda v: jnp.sum(mxu_gather(v, idx) * ct))(vals)
+    g_ref = jax.grad(lambda v: jnp.sum(
+        jnp.take_along_axis(v, idx, axis=1) * ct))(vals)
+    np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)

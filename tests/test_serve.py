@@ -218,3 +218,30 @@ def test_http_malformed_body_returns_400(service):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_http_handler_exception_returns_500(service):
+    """A question the ingest path rejects must 500 with the reason, not
+    drop the connection (which would also kill the worker thread)."""
+    httpd = service.serve_http(port=0)
+    try:
+        bad = make_question()
+        bad["subgraph"] = {"entities": [], "tuples": "not-a-list"}
+        req = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/retrieve",
+            data=json.dumps({"questions": [bad]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        # the server survives: a good request on the same service still works
+        req2 = urllib.request.Request(
+            f"http://localhost:{httpd.server_port}/retrieve",
+            data=json.dumps({"questions": [make_question()]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=30) as r:
+            assert "results" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
