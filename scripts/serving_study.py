@@ -68,9 +68,10 @@ def measure(port, path, questions, batch: int, body_key="questions"):
     One untimed pass over the EXACT measurement groups first: different
     groups hit different shape buckets, so anything less leaves an XLA
     compile inside the timed window (the r4 7B-decode lesson — always
-    time the same compiled program)."""
+    time the same compiled program). The warmup timeout is generous: the
+    first speculative-decode compile through the tunnel can take >10 min."""
     for i in range(0, len(questions), batch):
-        post(port, path, {body_key: questions[i:i + batch]})
+        post(port, path, {body_key: questions[i:i + batch]}, timeout=2400)
     lat = []
     hits = 0
     t_all = time.perf_counter()
@@ -104,7 +105,11 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--max_new", type=int, default=24)
     ap.add_argument("--out", default="docs/serving_r05.json")
+    ap.add_argument("--variants", default="retrieve,bf16,int8,spec",
+                    help="comma list; others keep their rows from an "
+                         "existing --out artifact (re-run only what failed)")
     args = ap.parse_args()
+    wanted = set(args.variants.split(","))
 
     import scripts.serve_qa as serve_qa
     from gnn_rag_tpu.rag.llms import get_registed_model
@@ -132,6 +137,9 @@ def main():
                          "path_backend": retr.path_backend,
                          "max_new_tokens": args.max_new},
               "rows": {}}
+    if os.path.exists(args.out):   # partial rerun: keep prior rows
+        with open(args.out) as f:
+            result["rows"] = json.load(f).get("rows", {})
 
     def save():
         # Re-written after every row: a single-chip tunnel can wedge
@@ -150,14 +158,16 @@ def main():
 
     # ---- retrieve-only rows (no reader; measure() self-warms)
     port = httpd.server_port
-    row("retrieve_b1", port, "/retrieve", 1)
-    row("retrieve_b16", port, "/retrieve", 16)
+    if "retrieve" in wanted:
+        row("retrieve_b1", port, "/retrieve", 1)
+        row("retrieve_b16", port, "/retrieve", 16)
     httpd.shutdown()
 
     variants = [("bf16", dict(quant=None, draft_path=None))]
     variants.append(("int8", dict(quant="int8", draft_path=None)))
     if args.draft:
         variants.append(("spec", dict(quant=None, draft_path=args.draft)))
+    variants = [(n, kw) for n, kw in variants if n in wanted]
     for name, kw in variants:
         reader_args = argparse.Namespace(
             model_path=args.reader, spec_gamma=4,
