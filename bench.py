@@ -434,13 +434,28 @@ def main():
         extra["llama7b_config"] = {k: v for k, v in row.items()
                                    if v is not None}
     s5 = _load_doc("llm7b_r05.json")
-    if s5 is not None and _dig(s5, "speculative", "tokens_per_s"):
-        extra.setdefault("llama7b_config", {})["speculative"] = {
-            "source": "docs/llm7b_r05.json",
-            "tokens_per_s": _dig(s5, "speculative", "tokens_per_s"),
-            "acceptance": _dig(s5, "speculative", "measured_acceptance"),
-            "exact_greedy_parity":
-                _dig(s5, "speculative", "exact_greedy_parity")}
+    if s5 is not None and isinstance(s5.get("speculative"), dict):
+        # rows are keyed gamma4/gamma8; report the fastest one
+        rows = [dict(v, gamma=k) for k, v in s5["speculative"].items()
+                if isinstance(v, dict) and v.get("tokens_per_s")]
+        if rows:
+            best = max(rows, key=lambda r: r["tokens_per_s"])
+            extra.setdefault("llama7b_config", {})["speculative"] = {
+                "source": "docs/llm7b_r05.json", "gamma": best["gamma"],
+                "tokens_per_s": best["tokens_per_s"],
+                "speedup_vs_plain": best.get("speedup_vs_plain"),
+                "acceptance": best.get("measured_acceptance"),
+                "exact_greedy_parity": best.get("exact_greedy_parity")}
+    sv = _load_doc("serving_r05.json")
+    if sv is not None:
+        extra["serving_http"] = {
+            "source": "docs/serving_r05.json",
+            "answer_b1_p50_ms": _dig(sv, "rows", "answer_bf16_b1", "p50_ms"),
+            "answer_b1_hit_pct": _dig(sv, "rows", "answer_bf16_b1",
+                                      "hit_pct"),
+            "best_b16_qps": max(
+                (_dig(sv, "rows", f"answer_{v}_b16", "sustained_qps") or 0)
+                for v in ("bf16", "int8", "spec"))}
     s8 = _load_doc("llm7b_int8_r04.json")
     if s8 is not None:
         v = _dig(s8, "greedy_decode_by_batch", "1", "tokens_per_s")
