@@ -456,6 +456,23 @@ def main():
             "best_b16_qps": max(
                 (_dig(sv, "rows", f"answer_{v}_b16", "sustained_qps") or 0)
                 for v in ("bf16", "int8", "spec"))}
+    sc = _load_doc("training_cwq_r05.json")
+    if sc is not None:
+        extra["trained_quality_synthcwq"] = {
+            "source": "docs/training_cwq_r05.json",
+            "test_h1": _dig(sc, "training", "test_h1"),
+            "test_f1": _dig(sc, "training", "test_f1"),
+            "answer_recall": _dig(sc, "retrieval", "mean_answer_recall"),
+            "end_to_end_train_sgps": _dig(sc, "training",
+                                          "train_subgraphs_per_sec")}
+    fb = _load_doc("fb_profile_r05.json")
+    if fb is not None:
+        extra["synthfb_profile"] = {
+            "source": "docs/fb_profile_r05.json",
+            "async_loop_sgps": fb.get("async_loop_sgps"),
+            "device_step_sgps": fb.get("device_step_sgps"),
+            "host_build_ms_median": fb.get("host_build_ms_median"),
+            "verdict": fb.get("verdict")}
     s8 = _load_doc("llm7b_int8_r04.json")
     if s8 is not None:
         v = _dig(s8, "greedy_decode_by_batch", "1", "tokens_per_s")

@@ -1,4 +1,4 @@
-"""k_per_cell sweep on the real chip -> docs/kernel_k_sweep_r03.json.
+"""k_per_cell sweep on the real chip -> docs/kernel_k_sweep_r05.json (--out).
 
 Times the v4 fused gate-scatter op (fwd and fwd+bwd) and the full ReaRev
 train step at bench shapes for GNN_RAG_V4_K in {1, 2, 4, 8}. K>1 processes
@@ -149,7 +149,7 @@ def main():
     ap.add_argument("--ks", default="1,2,4,8")
     ap.add_argument("--shapes", default="8,2048,8192,50,2",
                     help="B,E,F,D,J; semicolon-separated for multiple sets")
-    ap.add_argument("--out", default="kernel_k_sweep_r04.json",
+    ap.add_argument("--out", default="kernel_k_sweep_r05.json",
                     help="artifact filename under docs/")
     ap.add_argument("--flip-default", action="store_true")
     args = ap.parse_args()

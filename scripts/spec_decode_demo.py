@@ -21,7 +21,7 @@ capability on top of parity.
 Usage (on-chip):
   python scripts/spec_decode_demo.py --target checkpoints/reader_big \
       --draft checkpoints/reader_tiny_kp --n 24 --gammas 2,4,6 \
-      --out docs/spec_decode_r03.json
+      --out /tmp/spec_decode_demo.json
 """
 
 from __future__ import annotations
@@ -102,7 +102,7 @@ def main():
                     help="comma-separated speculation depths to sweep")
     ap.add_argument("--max_new", type=int, default=24)
     ap.add_argument("--keep_parallel", action="store_true")
-    ap.add_argument("--out", default="docs/spec_decode_r03.json")
+    ap.add_argument("--out", default="/tmp/spec_decode_demo.json")
     args = ap.parse_args()
 
     from gnn_rag_tpu.llm_tpu.generate import Decoder, SpeculativeDecoder
