@@ -889,6 +889,27 @@ def _fused_kernel_v4(ct2_ref, scatter_f_ref, prior_f_ref, vals_f_ref,
                 cur + contrib.astype(out_ref.dtype))
 
 
+def _v4_bwd_dir_xla(vals, ins, prior, scatter_idx, g_dir, apply_relu):
+    """Pure-XLA backward for one direction of the v4 op from the j-major
+    [B, E, J*D] cotangent — last-resort path for entity counts beyond any
+    resident-block budget (see _v4s_fits)."""
+    B, Fp, D = vals.shape
+    J = ins.shape[1]
+    pre = vals[:, :, None, :] * ins[:, None, :, :]               # [B,Fp,J,D]
+    act = jax.nn.relu(pre) if apply_relu else pre
+    safe = jnp.maximum(scatter_idx, 0)
+    gb = jnp.take_along_axis(g_dir, safe[..., None], axis=1)
+    gb = jnp.where((scatter_idx >= 0)[..., None], gb, 0.0)
+    gb = gb.reshape(B, Fp, J, D)
+    dprior = jnp.einsum("bfjd,bfjd->bf", gb, act)
+    dval = gb * prior[:, :, None, None]
+    if apply_relu:
+        dval = jnp.where(pre > 0, dval, 0.0)
+    dfr = jnp.einsum("bfjd,bjd->bfd", dval, ins)
+    dins = jnp.einsum("bfjd,bfd->bjd", dval, vals)
+    return dfr, dprior, dins
+
+
 def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
                  ct2, num_entities, apply_relu, interpret=False):
     # run the Mosaic kernel on TPU, the Pallas interpreter elsewhere, so the
@@ -898,6 +919,24 @@ def _v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
     J = ins.shape[1]
     NC = ct2.shape[2]
     if _v4_vmem_split(num_entities, J, D):
+        if not _v4s_fits(num_entities, J, D):
+            if J > 1 and _v4s_fits(num_entities, 1, D):
+                # huge-E shapes (CWQ E=8192 bucket): even one direction's
+                # full-J resident block overflows scoped VMEM — launch per
+                # instruction (lanes = D) and concat j-major
+                out_f = jnp.concatenate([
+                    _v4s_call(vals_f, prior_f, scatter_f, ct2[:, 0],
+                              num_entities, 1, D, apply_relu, interpret,
+                              ins[:, j:j + 1]) for j in range(J)], axis=-1)
+                out_i = jnp.concatenate([
+                    _v4s_call(vals_i, prior_i, scatter_i, ct2[:, 1],
+                              num_entities, 1, D, apply_relu, interpret,
+                              ins[:, j:j + 1]) for j in range(J)], axis=-1)
+                return out_f, out_i
+            # beyond any resident-block budget: XLA reference semantics
+            return gated_scatter_v4_reference(
+                vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
+                ct2, num_entities, apply_relu)
         # big-E shapes: one launch per direction keeps the resident output
         # (x2 Mosaic buffers) under the scoped-VMEM limit
         out_f = _v4s_call(vals_f, prior_f, scatter_f, ct2[:, 0], num_entities,
@@ -1019,6 +1058,35 @@ def _v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, scatter_f, scatter_i,
     J = ins.shape[1]
     NC = ct2.shape[2]
     if _v4_vmem_split(g_f.shape[1], J, D):
+        E = g_f.shape[1]
+        if not _v4s_fits(E, J, D):
+            if J > 1 and _v4s_fits(E, 1, D):
+                # per-instruction launches (see _v4s_fits): each j's grads
+                # for vals/prior sum, the per-j dins rows concatenate
+                outs = []
+                for vals, prior, scatter, d, gd in (
+                        (vals_f, prior_f, scatter_f, 0, g_f),
+                        (vals_i, prior_i, scatter_i, 1, g_i)):
+                    dv, dp, dins_parts = None, None, []
+                    for j in range(J):
+                        dvj, dpj, dij = _v4s_bwd_call(
+                            vals, prior, scatter, ct2[:, d],
+                            gd[:, :, j * D:(j + 1) * D], 1, D, apply_relu,
+                            interpret, ins[:, j:j + 1])
+                        dv = dvj if dv is None else dv + dvj
+                        dp = dpj if dp is None else dp + dpj
+                        dins_parts.append(dij)
+                    outs.append((dv, dp,
+                                 jnp.concatenate(dins_parts, axis=1)))
+                (dvf, dpf, dins_f), (dvi, dpi, dins_i) = outs
+            else:
+                (dvf, dpf, dins_f) = _v4_bwd_dir_xla(
+                    vals_f, ins, prior_f, scatter_f, g_f, apply_relu)
+                (dvi, dpi, dins_i) = _v4_bwd_dir_xla(
+                    vals_i, ins, prior_i, scatter_i, g_i, apply_relu)
+            return (dvf.astype(vals_f.dtype), dvi.astype(vals_i.dtype),
+                    (dins_f + dins_i).astype(ins.dtype),
+                    dpf.astype(prior_f.dtype), dpi.astype(prior_i.dtype))
         dvf, dpf, dins_f = _v4s_bwd_call(vals_f, prior_f, scatter_f,
                                          ct2[:, 0], g_f, J, D, apply_relu,
                                          interpret, ins)
@@ -1270,6 +1338,18 @@ def _v4_vmem_split(num_entities: int, J: int, D: int) -> bool:
     lanes = -(-J * D // 128) * 128
     limit_mb = float(os.environ.get("GNN_RAG_V4_VMEM_LIMIT_MB", "14"))
     return 4 * num_entities * lanes * 4 > limit_mb * 2**20
+
+
+def _v4s_fits(num_entities: int, J: int, D: int) -> bool:
+    """True when ONE direction's resident [E, roundup(J*D,128)] output block
+    (x2 Mosaic buffers) fits under the scoped-VMEM limit. When it doesn't
+    (e.g. the CWQ E=8192 bucket at J=3: 2 x 8192 x 256 x 4B = 16.8MB), the
+    launch is split per instruction (J=1 lanes -> 8.4MB) and the j-major
+    outputs concatenated — numerics are unchanged because each instruction's
+    one-hot matmul is independent of the others."""
+    lanes = -(-J * D // 128) * 128
+    limit_mb = float(os.environ.get("GNN_RAG_V4_VMEM_LIMIT_MB", "14"))
+    return 2 * num_entities * lanes * 4 <= limit_mb * 2**20
 
 
 def _v4s_call(vals, prior, scatter, ct, num_entities, J, D, apply_relu,

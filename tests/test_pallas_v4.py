@@ -16,9 +16,9 @@ from gnn_rag_tpu.data.kernel_layout import build_kernel_layout, pack_samples
 from gnn_rag_tpu.ops import pallas_mp as pm
 
 
-def _make_case(J, seed=0, round_nc_to=1):
+def _make_case(J, seed=0, round_nc_to=1, D=16):
     rng = np.random.default_rng(seed)
-    B, F, E, D = 2, 300, 256, 16
+    B, F, E = 2, 300, 256
     heads = rng.integers(0, E, (B, F)).astype(np.int32)
     tails = rng.integers(0, E, (B, F)).astype(np.int32)
     rels = np.zeros((B, F), np.int32)
@@ -150,9 +150,12 @@ def test_rearev_v4_matches_v3_forward(monkeypatch):
 @pytest.mark.parametrize("J", [2, 3])
 def test_v4_split_launch_matches_reference(J, monkeypatch):
     """Forcing the big-E VMEM split (one launch per direction) must match
-    the dual-direction path and the reference bit-for-bit."""
-    monkeypatch.setenv("GNN_RAG_V4_VMEM_LIMIT_MB", "0")
+    the dual-direction path and the reference bit-for-bit. Limit 0.3MB:
+    the dual launch (0.5MB of resident blocks at these shapes) splits, one
+    direction's full-J block (0.25MB) still fits."""
+    monkeypatch.setenv("GNN_RAG_V4_VMEM_LIMIT_MB", "0.3")
     vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(J)
+    assert pm._v4_vmem_split(E, J, 16) and pm._v4s_fits(E, J, 16)
     got_f, got_i = pm._v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i,
                                    sc_f, sc_i, ct2, E, True, interpret=True)
     want_f, want_i = pm.gated_scatter_v4_reference(
@@ -216,6 +219,68 @@ def test_v4_k_per_cell_equivalence(K, monkeypatch):
                           g_kernel, g_auto):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def _grad_check(vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E,
+                interpret=True):
+    def loss(vf, vi, ii, pf, pi):
+        of, oi = pm.gated_scatter_v4_reference(vf, vi, ii, pf, pi, sc_f,
+                                               sc_i, ct2, E, True)
+        return jnp.sum(jnp.sin(of)) + jnp.sum(jnp.cos(oi))
+
+    g_auto = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        vals_f, vals_i, ins, prior_f, prior_i)
+    of, oi = pm.gated_scatter_v4_reference(vals_f, vals_i, ins, prior_f,
+                                           prior_i, sc_f, sc_i, ct2, E, True)
+    g_kernel = pm._v4_bwd_impl(vals_f, vals_i, ins, prior_f, prior_i, sc_f,
+                               sc_i, ct2, jnp.cos(of), -jnp.sin(oi), True,
+                               interpret=interpret)
+    for name, a, b in zip(["dvf", "dvi", "dins", "dpf", "dpi"],
+                          g_kernel, g_auto):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_v4_jsplit_launch_matches_reference(monkeypatch):
+    """The huge-E tier (CWQ E=8192 J=3 bucket, r5): even one direction's
+    full-J resident block overflows scoped VMEM, so the launch splits per
+    instruction. At J=3 D=64 the full-J lanes are 256 (0.5MB resident) vs
+    128 per instruction (0.25MB); limit 0.3MB forces exactly this tier."""
+    J, D = 3, 64
+    monkeypatch.setenv("GNN_RAG_V4_VMEM_LIMIT_MB", "0.3")
+    vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(
+        J, D=D)
+    assert (pm._v4_vmem_split(E, J, D) and not pm._v4s_fits(E, J, D)
+            and pm._v4s_fits(E, 1, D))
+    got_f, got_i = pm._v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i,
+                                   sc_f, sc_i, ct2, E, True, interpret=True)
+    want_f, want_i = pm.gated_scatter_v4_reference(
+        vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E, True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-5, atol=1e-5)
+    _grad_check(vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E)
+
+
+def test_v4_xla_fallback_tier_matches_reference(monkeypatch):
+    """Beyond any resident-block budget the op falls back to pure XLA —
+    forward is the reference itself; backward (_v4_bwd_dir_xla) must match
+    autodiff."""
+    J, D = 3, 64
+    monkeypatch.setenv("GNN_RAG_V4_VMEM_LIMIT_MB", "0.1")
+    vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E = _make_case(
+        J, D=D)
+    assert not pm._v4s_fits(E, 1, D)
+    got_f, got_i = pm._v4_fwd_impl(vals_f, vals_i, ins, prior_f, prior_i,
+                                   sc_f, sc_i, ct2, E, True, interpret=True)
+    want_f, want_i = pm.gated_scatter_v4_reference(
+        vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E, True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-5, atol=1e-5)
+    _grad_check(vals_f, vals_i, ins, prior_f, prior_i, sc_f, sc_i, ct2, E)
 
 
 @pytest.mark.parametrize("K", [2, 8])
